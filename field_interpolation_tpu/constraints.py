@@ -1,0 +1,196 @@
+"""Vectorized scattered-data constraint assembly.
+
+Reference counterparts: `add_value_constraint` / `add_gradient_constraint`
+(SURVEY.md §2 C4/C5, §3.3) loop per sample in C++, appending 2^D-entry triplet
+rows. Here the whole sample batch is processed at once (`BASELINE.json:5`
+"vectorized constraint-assembly layer"):
+
+1. `multilinear_corner_data` computes, for all samples in one shot, the flat
+   corner indices `[n, 2^D]` and the per-row coefficient vectors (one value
+   row + D gradient rows) of shape `[n, R, 2^D]`.
+2. `densify_data_term` scatter-adds each sample's weighted `2^D × 2^D`
+   normal-equation block into a dense spatially-varying 3^D-point stencil
+   `coeff[*grid, 3^D]` plus the RHS grid `Aᵀb`. This happens ONCE at assembly;
+   the CG hot loop then applies the data term as 3^D shifted multiply-adds
+   with no scatter (SURVEY.md §7 "hard parts" #3 — the scatter-add problem is
+   moved off the hot path entirely).
+
+All functions are jit/vmap friendly: static shapes, out-of-bounds samples and
+padding rows are handled by zeroing their weights (SPEC.md).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .grid import Grid
+from .weights import Weights
+
+
+@functools.lru_cache(maxsize=None)
+def corner_bits(ndim: int) -> np.ndarray:
+    """[2^D, D] array of corner bit patterns; bit d of corner c is bits[c, d]."""
+    c = np.arange(1 << ndim)[:, None]
+    return ((c >> np.arange(ndim)[None, :]) & 1).astype(np.int32)
+
+
+@functools.lru_cache(maxsize=None)
+def _offset_channels(ndim: int) -> np.ndarray:
+    """[2^D, 2^D] channel index into the 3^D offset box for corner pair (c, d):
+    offset = bits[d] - bits[c] ∈ {-1,0,1}^D, channel = C-order index of
+    offset+1 in a (3,)*D box."""
+    bits = corner_bits(ndim)
+    off = bits[None, :, :] - bits[:, None, :] + 1  # [C, C, D] in {0,1,2}
+    chan = np.zeros(off.shape[:2], dtype=np.int32)
+    for d in range(ndim):
+        chan = chan * 3 + off[:, :, d]
+    return chan
+
+
+@functools.lru_cache(maxsize=None)
+def offset_list(ndim: int) -> np.ndarray:
+    """[3^D, D] the C-ordered offsets of the data-stencil box, in {-1,0,1}."""
+    grids = np.meshgrid(*([np.arange(-1, 2)] * ndim), indexing="ij")
+    return np.stack([g.ravel() for g in grids], axis=-1).astype(np.int32)
+
+
+def multilinear_corner_data(grid: Grid, positions: jax.Array):
+    """Per-sample cell/corner geometry for all samples at once.
+
+    positions: [n, D] continuous lattice coordinates.
+
+    Returns (corner_idx [n, C] int32 flat node indices,
+             row_coeffs [n, 1+D, C] (positions' dtype) — value then D gradient rows,
+             in_bounds [n] bool).
+    Row coefficient conventions per SPEC.md (exact multilinear partials).
+    """
+    D = grid.ndim
+    C = grid.num_corners
+    shape = jnp.asarray(grid.shape, dtype=positions.dtype)
+    strides = jnp.asarray(grid.strides, dtype=jnp.int32)
+    bits = jnp.asarray(corner_bits(D))  # [C, D]
+
+    finite = jnp.isfinite(positions)
+    in_bounds = jnp.all(finite & (positions >= 0.0) & (positions <= shape - 1.0),
+                        axis=-1)
+    # Replace non-finite coordinates before any arithmetic: a NaN position
+    # would otherwise poison the scatter (0-weight × NaN-coefficient = NaN).
+    safe_pos = jnp.clip(jnp.where(finite, positions, 0.0), 0.0, shape - 1.0)
+    cell = jnp.clip(jnp.floor(safe_pos).astype(jnp.int32),
+                    0, jnp.asarray(grid.shape, jnp.int32) - 2)  # [n, D]
+    frac = safe_pos - cell.astype(positions.dtype)  # [n, D] in [0, 1]
+
+    # Flat node index of each corner: (cell + bits) · strides.
+    corner_coords = cell[:, None, :] + bits[None, :, :]         # [n, C, D]
+    corner_idx = jnp.sum(corner_coords * strides, axis=-1)      # [n, C]
+
+    # Per-axis 1-D weights at each corner: bits ? frac : 1-frac.
+    w1d = jnp.where(bits[None, :, :] == 1, frac[:, None, :],
+                    1.0 - frac[:, None, :])                     # [n, C, D]
+    value_row = jnp.prod(w1d, axis=-1)                          # [n, C]
+
+    # Gradient row for axis a: sign_a(c) * prod_{d != a} w1d.
+    # prod_{d != a} = value_row / w1d[..., a] is unstable at 0; recompute via
+    # masked product instead.
+    grad_rows = []
+    for a in range(D):
+        mask = jnp.asarray([d != a for d in range(D)])
+        partial = jnp.prod(jnp.where(mask[None, None, :], w1d, 1.0), axis=-1)
+        sign = jnp.where(bits[None, :, a] == 1, 1.0, -1.0)
+        grad_rows.append(sign * partial)                        # [n, C]
+    row_coeffs = jnp.stack([value_row, *grad_rows], axis=1)     # [n, 1+D, C]
+    return corner_idx, row_coeffs.astype(positions.dtype), in_bounds
+
+
+def densify_data_term(
+    grid: Grid,
+    corner_idx: jax.Array,      # [n, C]
+    row_coeffs: jax.Array,      # [n, R, C]  (R rows per sample)
+    row_weights: jax.Array,     # [n, R]     (already includes in-bounds mask)
+    row_targets: jax.Array,     # [n, R]
+):
+    """Scatter the data rows' normal-equation contributions into dense form.
+
+    Returns (coeff [*grid, 3^D], b [*grid]) with
+      (DᵀWD x)_i = Σ_o coeff[i, o] · x_{i+o}     and   b = Dᵀ W t.
+    """
+    D = grid.ndim
+    C = grid.num_corners
+    Bw = row_coeffs * row_weights[:, :, None]          # weighted rows [n, R, C]
+    tw = row_targets * row_weights                     # weighted targets [n, R]
+
+    # Per-sample normal block M = Σ_r Bw[r]ᵀ Bw[r]  -> [n, C, C].
+    # HIGHEST precision: TPU einsum defaults to bf16 MXU passes, which would
+    # corrupt the assembled operator at the 1e-3 level.
+    M = jnp.einsum("nrc,nrd->ncd", Bw, Bw, precision=jax.lax.Precision.HIGHEST)
+    bvec = jnp.einsum("nrc,nr->nc", Bw, tw,
+                      precision=jax.lax.Precision.HIGHEST)  # [n, C]
+
+    chan = jnp.asarray(_offset_channels(D))            # [C, C]
+    n = corner_idx.shape[0]
+    idx_cc = jnp.broadcast_to(corner_idx[:, :, None], (n, C, C))
+    chan_cc = jnp.broadcast_to(chan[None, :, :], (n, C, C))
+
+    dtype = row_coeffs.dtype
+    coeff = jnp.zeros((grid.num_nodes, 3**D), dtype=dtype)
+    coeff = coeff.at[idx_cc, chan_cc].add(M)
+    b = jnp.zeros((grid.num_nodes,), dtype=dtype)
+    b = b.at[corner_idx].add(bvec)
+    return coeff.reshape(grid.shape + (3**D,)), b.reshape(grid.shape)
+
+
+def _shift(x: jax.Array, offset, ndim: int) -> jax.Array:
+    """result[i] = x[i + offset] with zeros outside; grid axes are trailing."""
+    base = x.ndim - ndim
+    pads = [(0, 0)] * x.ndim
+    slices = [slice(None)] * x.ndim
+    for d, o in enumerate(offset):
+        o = int(o)
+        ax = base + d
+        if o > 0:
+            pads[ax] = (0, o)
+            slices[ax] = slice(o, None)
+        elif o < 0:
+            pads[ax] = (-o, 0)
+            slices[ax] = slice(None, o)
+    return jnp.pad(x[tuple(slices)], pads)
+
+
+def data_apply(x: jax.Array, coeff: jax.Array, ndim: int) -> jax.Array:
+    """(DᵀWD) x via the densified varying stencil: Σ_o coeff[..., o] x_{i+o}.
+
+    x: [..., *grid]; coeff: [..., *grid, 3^D]. Pure shifts — fuses on TPU.
+    """
+    offsets = offset_list(ndim)
+    out = jnp.zeros_like(x)
+    for o_idx in range(offsets.shape[0]):
+        out = out + coeff[..., o_idx] * _shift(x, offsets[o_idx], ndim)
+    return out
+
+
+def data_diag(coeff: jax.Array, ndim: int) -> jax.Array:
+    """diag(DᵀWD) = the center channel of the densified stencil."""
+    center = (3**ndim) // 2
+    return coeff[..., center]
+
+
+def sample_row_weights(
+    weights: Weights,
+    in_bounds: jax.Array,          # [n]
+    point_weights: jax.Array,      # [n]
+    ndim: int,
+    with_gradient: bool,
+) -> jax.Array:
+    """Per-row weights [n, R]: value row scaled by data_pos, gradient rows by
+    data_gradient; out-of-bounds or padded (weight-0) samples contribute
+    nothing (SPEC.md)."""
+    wp = jnp.where(in_bounds, point_weights, 0.0)
+    cols = [wp * weights.data_pos]
+    g = weights.data_gradient if with_gradient else 0.0
+    for _ in range(ndim):
+        cols.append(wp * g)
+    return jnp.stack(cols, axis=1).astype(point_weights.dtype)

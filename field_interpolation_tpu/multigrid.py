@@ -1,0 +1,186 @@
+"""Geometric multigrid V-cycle preconditioner.
+
+Generalizes the reference's 2-level coarse-lattice approximate solve
+(`solve_sparse_linear_approximate_lattice`, SURVEY.md §2 C9, §3.5) into a full
+V-cycle used as an SPD preconditioner for CG (`BASELINE.json:5,10`):
+
+* transfers — endpoint-aligned separable linear prolongation ``P``; the
+  restriction is exactly ``Pᵀ`` via `jax.linear_transpose`, which together with
+  symmetric pre/post damped-Jacobi smoothing makes the V-cycle a symmetric
+  positive-definite operator (safe inside CG).
+* coarse operators — rediscretized smoothness with energy-matched weight
+  scaling ``w_k ← w_k · 2^{(D-2k)/2}`` per coarsening (continuum argument:
+  per-axis order-k row energy scales as ``h^{2k-D}``), plus a diagonally
+  lumped data term ``diag_c = Pᵀ² diag_f`` (Galerkin diagonal of a diagonal
+  matrix: squared interpolation weights).
+* coarsest level — fixed-count damped Jacobi from a zero guess (a symmetric
+  linear operation, so SPD-ness is preserved).
+
+Everything is static-shape and vmap/shard_map compatible; the level hierarchy
+is built at trace time from the static grid shape (SURVEY.md §7 hard-part #4).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from . import stencils
+from .grid import Grid
+from .operators import Problem
+from .weights import SolverConfig, Weights
+
+
+def _axis_resize(x: jax.Array, axis: int, n_out: int, square: bool = False) -> jax.Array:
+    """Separable endpoint-aligned linear resample along one axis.
+
+    ``square=True`` uses squared interpolation weights (for transferring
+    diagonal/lumped quantities Galerkin-style)."""
+    n_in = x.shape[axis]
+    if n_in == n_out:
+        return x
+    src = jnp.linspace(0.0, n_in - 1.0, n_out, dtype=x.dtype)
+    lo = jnp.clip(jnp.floor(src).astype(jnp.int32), 0, n_in - 2)
+    t = src - lo.astype(x.dtype)
+    a = jnp.take(x, lo, axis=axis)
+    b = jnp.take(x, lo + 1, axis=axis)
+    shape = [1] * x.ndim
+    shape[axis] = n_out
+    w1 = t.reshape(shape)
+    w0 = 1.0 - w1
+    if square:
+        w0, w1 = w0 * w0, w1 * w1
+    return a * w0 + b * w1
+
+
+def prolong(xc: jax.Array, fine_shape: tuple[int, ...]) -> jax.Array:
+    """P: coarse grid -> fine grid (trailing ``len(fine_shape)`` axes)."""
+    base = xc.ndim - len(fine_shape)
+    out = xc
+    for d, n in enumerate(fine_shape):
+        out = _axis_resize(out, base + d, n)
+    return out
+
+
+def make_restrict(fine_shape: tuple[int, ...], coarse_shape: tuple[int, ...],
+                  dtype=jnp.float32) -> Callable[[jax.Array], jax.Array]:
+    """R = Pᵀ exactly (jax.linear_transpose of the prolongation)."""
+    example = jax.ShapeDtypeStruct(coarse_shape, dtype)
+    t = jax.linear_transpose(lambda xc: prolong(xc, fine_shape), example)
+    return lambda rf: t(rf)[0]
+
+
+def restrict_diag(diag_f: jax.Array, coarse_shape: tuple[int, ...]) -> jax.Array:
+    """Galerkin diagonal transfer: diag_c[j] = Σ_i P_ij² diag_f[i]."""
+    example = jax.ShapeDtypeStruct(coarse_shape, diag_f.dtype)
+
+    def p_sq(xc):
+        base = xc.ndim - len(diag_f.shape)
+        out = xc
+        for d, n in enumerate(diag_f.shape):
+            out = _axis_resize(out, base + d, n, square=True)
+        return out
+
+    t = jax.linear_transpose(p_sq, example)
+    return t(diag_f)[0]
+
+
+@dataclasses.dataclass(frozen=True)
+class _Level:
+    """One multigrid level (host-side setup object, captured as constants)."""
+
+    shape: tuple[int, ...]
+    weights: Weights          # energy-rescaled smoothness weights
+    data_diag: jax.Array      # lumped data term [*shape]
+    diag: jax.Array           # diag of this level's operator [*shape]
+
+    def apply(self, x: jax.Array) -> jax.Array:
+        s = stencils.smoothness_apply(x, self.weights, len(self.shape))
+        return s + self.data_diag * x
+
+
+def _coarsen_weights(weights: Weights, ndim: int) -> Weights:
+    factors = tuple(2.0 ** ((ndim - 2 * k) / 2.0) for k in range(4))
+    return weights.scaled_model(factors)
+
+
+def build_levels(problem: Problem, config: SolverConfig) -> list[_Level]:
+    """Static level hierarchy below the fine problem (level 0 IS the problem)."""
+    levels: list[_Level] = []
+    grid = problem.grid
+    weights = problem.weights
+    from .constraints import data_diag as _data_diag
+    ddiag = _data_diag(problem.coeff, grid.ndim)
+    shape = grid.shape
+    while min(shape) > config.mg_min_size:
+        coarse = Grid(shape).coarsen()
+        if coarse.shape == shape:
+            break
+        weights = _coarsen_weights(weights, grid.ndim)
+        ddiag = restrict_diag(ddiag, coarse.shape)
+        diag = stencils.smoothness_diag(coarse.shape, weights).astype(ddiag.dtype) + ddiag
+        levels.append(_Level(shape=coarse.shape, weights=weights,
+                             data_diag=ddiag, diag=diag))
+        shape = coarse.shape
+    return levels
+
+
+def _rho_bound(row_abs: jax.Array, diag: jax.Array) -> jax.Array:
+    """Gershgorin bound on ρ(D⁻¹A): max_i (Σ_j |A_ij|) / A_ii."""
+    safe = jnp.where(diag > 0, diag, 1.0)
+    return jnp.max(row_abs / safe)
+
+
+def make_vcycle_preconditioner(problem: Problem, config: SolverConfig):
+    """Returns z = M⁻¹ r — one symmetric V-cycle on the normal operator."""
+    levels = build_levels(problem, config)
+    nu = config.mg_pre_smooth
+
+    fine_inv_diag = jnp.where(problem.diag > 0, 1.0 / problem.diag, 1.0)
+    inv_diags = [jnp.where(l.diag > 0, 1.0 / l.diag, 1.0) for l in levels]
+
+    # Damped Jacobi diverges unless τ·ρ(D⁻¹A) < 2, and for biharmonic-heavy
+    # operators ρ(D⁻¹A) ≈ 2.7 — a fixed τ=0.8 blows up. Auto-scale each
+    # level's damping so τ·ρ ≤ 2·mg_omega (< 2), using closed-form row-abs
+    # sums for the bound.
+    ndim = problem.grid.ndim
+    fine_rowabs = (stencils.smoothness_row_abs_sum(
+        problem.grid.shape, problem.weights, problem.diag.dtype)
+        + jnp.sum(jnp.abs(problem.coeff), axis=-1))
+    taus = [2.0 * config.mg_omega / _rho_bound(fine_rowabs, problem.diag)]
+    for lvl in levels:
+        rowabs = (stencils.smoothness_row_abs_sum(lvl.shape, lvl.weights,
+                                                  lvl.diag.dtype) + lvl.data_diag)
+        taus.append(2.0 * config.mg_omega / _rho_bound(rowabs, lvl.diag))
+
+    def smooth(apply_fn, inv_diag, tau, r, z, iters):
+        for _ in range(iters):
+            z = z + tau * inv_diag * (r - apply_fn(z))
+        return z
+
+    def vcycle(r, level_idx):
+        if level_idx == 0:
+            apply_fn, inv_diag = problem.apply, fine_inv_diag
+            shape = problem.grid.shape
+        else:
+            lvl = levels[level_idx - 1]
+            apply_fn, inv_diag = lvl.apply, inv_diags[level_idx - 1]
+            shape = lvl.shape
+        tau = taus[level_idx]
+
+        if level_idx == len(levels):  # coarsest
+            z = jnp.zeros_like(r)
+            return smooth(apply_fn, inv_diag, tau, r, z, config.mg_coarse_iters)
+
+        z = smooth(apply_fn, inv_diag, tau, r, jnp.zeros_like(r), nu)
+        coarse_shape = levels[level_idx].shape
+        restrict = make_restrict(shape, coarse_shape, r.dtype)
+        rc = restrict(r - apply_fn(z))
+        zc = vcycle(rc, level_idx + 1)
+        z = z + prolong(zc, shape)
+        return smooth(apply_fn, inv_diag, tau, r, z, config.mg_post_smooth)
+
+    return lambda r: vcycle(r, 0)

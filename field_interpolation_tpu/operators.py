@@ -1,0 +1,83 @@
+"""The matrix-free normal operator and problem assembly.
+
+This is the TPU replacement for the reference's triplet pipeline
+(`LinearEquation` → `Eigen::SparseMatrix` → `AᵀA` → factorization,
+SURVEY.md §3.1): `A x = S x + (DᵀWD) x` where
+
+* ``S`` — smoothness normal operator, exact composite convolutions
+  (stencils.py),
+* ``DᵀWD`` — scattered-data normal operator, densified at assembly into a
+  spatially-varying 3^D stencil (constraints.py),
+
+and ``b = Aᵀ rhs`` is a grid. Nothing resembling the sparse matrix is ever
+materialized (`BASELINE.json:5`).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import constraints as cons
+from . import stencils
+from .grid import Grid
+from .weights import Weights
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class Problem:
+    """Assembled normal-equations problem ``A x = b`` (a pytree; ``grid`` and
+    ``weights`` are static metadata so jit re-specializes per geometry)."""
+
+    coeff: jax.Array          # [*grid, 3^D] densified data-term stencil
+    b: jax.Array              # [*grid] Aᵀb
+    diag: jax.Array           # [*grid] diag(A), for Jacobi/multigrid
+    grid: Grid = dataclasses.field(metadata=dict(static=True))
+    weights: Weights = dataclasses.field(metadata=dict(static=True))
+
+    def apply(self, x: jax.Array) -> jax.Array:
+        """A x. ``x``: [..., *grid] (leading axes = batch)."""
+        s = stencils.smoothness_apply(x, self.weights, self.grid.ndim)
+        d = cons.data_apply(x, self.coeff, self.grid.ndim)
+        return s + d
+
+
+def assemble(
+    grid: Grid,
+    weights: Weights,
+    positions: jax.Array,                      # [n, D]
+    values: jax.Array,                         # [n] value-row targets
+    gradients: Optional[jax.Array] = None,     # [n, D] gradient-row targets
+    point_weights: Optional[jax.Array] = None,  # [n]
+) -> Problem:
+    """Vectorized assembly of the full normal-equations problem.
+
+    Replaces the reference's per-sample ``add_value_constraint`` /
+    ``add_gradient_constraint`` loops + ``add_field_constraints``
+    (SURVEY.md §3.1 hot loops #1/#2) with one batched computation.
+    Zero-weight samples act as padding, so callers can use fixed-size arrays.
+    """
+    n = positions.shape[0]
+    if point_weights is None:
+        point_weights = jnp.ones((n,), dtype=positions.dtype)
+    with_gradient = gradients is not None
+
+    corner_idx, row_coeffs, in_bounds = cons.multilinear_corner_data(grid, positions)
+    row_w = cons.sample_row_weights(weights, in_bounds, point_weights,
+                                    grid.ndim, with_gradient)
+    if with_gradient:
+        row_t = jnp.concatenate([values[:, None], gradients], axis=1)
+    else:
+        row_coeffs = row_coeffs[:, :1, :]
+        row_w = row_w[:, :1]
+        row_t = values[:, None]
+
+    coeff, b = cons.densify_data_term(grid, corner_idx, row_coeffs,
+                                      row_w, row_t.astype(row_coeffs.dtype))
+    diag = (stencils.smoothness_diag(grid.shape, weights, dtype=coeff.dtype)
+            + cons.data_diag(coeff, grid.ndim))
+    return Problem(coeff=coeff, b=b, diag=diag, grid=grid, weights=weights)

@@ -1,0 +1,201 @@
+"""Matrix-free preconditioned conjugate gradients.
+
+Replaces the reference's Eigen normal-equations factorization and its
+warm-start / approximate-lattice variants (SURVEY.md §2 C7–C9):
+
+* `solve` — jitted PCG on ``A x = b`` with fp32 iterates; relative-residual
+  stopping with periodic true-residual recomputation to cancel recurrence
+  drift (the fp32/“fp64-equivalent check” strategy, `BASELINE.json:5`).
+* warm start — pass ``x0`` (reference `solve_sparse_linear_with_guess`).
+* preconditioners — identity, Jacobi (closed-form diag), or geometric
+  multigrid V-cycle (multigrid.py; generalizes the reference's coarse-lattice
+  approximate solve).
+
+Everything is a single `lax.while_loop` under jit: no data-dependent Python
+control flow, shapes static, safe under `vmap` (the while batching rule masks
+finished lanes) — SURVEY.md §7 PR3.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from .operators import Problem
+from .weights import SolverConfig
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class SolveInfo:
+    iterations: jax.Array     # int32
+    rel_residual: jax.Array   # float32, ||b - Ax|| / ||b|| at exit
+    converged: jax.Array      # bool
+
+
+def _dot(a: jax.Array, b: jax.Array) -> jax.Array:
+    """Full-precision dot over all elements. Elementwise multiply + reduce
+    stays on the VPU in true fp32 (jnp.vdot would lower to an MXU dot whose
+    TPU default precision is bf16 — fatal for 1e-6 convergence). XLA's tree
+    reduction keeps accumulation error ~eps·log(n), adequate with the
+    periodic true-residual refresh."""
+    return jnp.sum(a * b)
+
+
+def pcg(
+    apply_fn: Callable[[jax.Array], jax.Array],
+    b: jax.Array,
+    x0: Optional[jax.Array] = None,
+    precond_fn: Optional[Callable[[jax.Array], jax.Array]] = None,
+    *,
+    tol: float = 1e-6,
+    maxiter: int = 2000,
+    recompute_every: int = 50,
+) -> tuple[jax.Array, SolveInfo]:
+    """Preconditioned CG on an SPD operator. Returns (x, SolveInfo)."""
+    if precond_fn is None:
+        precond_fn = lambda r: r
+    x = jnp.zeros_like(b) if x0 is None else x0
+
+    r = b - apply_fn(x)
+    z = precond_fn(r)
+    p = z
+    rz = _dot(r, z)
+    b_norm2 = _dot(b, b)
+    # Guard all-zero rhs: declare converged immediately with x = x0.
+    tol2 = tol * tol * jnp.maximum(b_norm2, jnp.finfo(b.dtype).tiny)
+
+    def cond(state):
+        _, r, _, _, k, done = state
+        return jnp.logical_not(done) & (k < maxiter)
+
+    def body(state):
+        x, r, p, rz, k, _ = state
+        Ap = apply_fn(p)
+        pAp = _dot(p, Ap)
+        alpha = jnp.where(pAp > 0, rz / pAp, 0.0)
+        x = x + alpha * p
+        # Periodic true-residual recomputation cancels fp32 drift.
+        if recompute_every > 0:
+            refresh = (k + 1) % recompute_every == 0
+            r = lax.cond(refresh,
+                         lambda _: b - apply_fn(x),
+                         lambda r_: r_ - alpha * Ap,
+                         r)
+        else:
+            r = r - alpha * Ap
+        z = precond_fn(r)
+        rz_new = _dot(r, z)
+        beta = jnp.where(rz > 0, rz_new / rz, 0.0)
+        p = z + beta * p
+        done = _dot(r, r) <= tol2
+        return x, r, p, rz_new, k + 1, done
+
+    done0 = _dot(r, r) <= tol2
+    x, r, _, _, k, done = lax.while_loop(cond, body, (x, r, p, rz, jnp.int32(0), done0))
+    # Exit diagnostics use a fresh true residual (honest reporting).
+    r_true = b - apply_fn(x)
+    rel = jnp.sqrt(_dot(r_true, r_true) / jnp.maximum(b_norm2, jnp.finfo(b.dtype).tiny))
+    return x, SolveInfo(iterations=k, rel_residual=rel, converged=done)
+
+
+def _make_precond(problem: Problem, config: SolverConfig):
+    if config.preconditioner == "none":
+        return None
+    if config.preconditioner == "jacobi":
+        inv_diag = jnp.where(problem.diag > 0, 1.0 / problem.diag, 1.0)
+        return lambda r: inv_diag * r
+    if config.preconditioner == "multigrid":
+        from .multigrid import make_vcycle_preconditioner
+        return make_vcycle_preconditioner(problem, config)
+    raise ValueError(f"unknown preconditioner {config.preconditioner!r}")
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def solve(
+    problem: Problem,
+    config: SolverConfig = SolverConfig(),
+    x0: Optional[jax.Array] = None,
+) -> tuple[jax.Array, SolveInfo]:
+    """Solve the assembled problem; the reference's `solve_sparse_linear`
+    (+`_with_guess` via ``x0``) equivalent (SURVEY.md §2 C7/C8)."""
+    return pcg(
+        problem.apply,
+        problem.b,
+        x0=x0,
+        precond_fn=_make_precond(problem, config),
+        tol=config.tol,
+        maxiter=config.maxiter,
+        recompute_every=config.recompute_every,
+    )
+
+
+def _downcast_problem(p64: Problem) -> Problem:
+    return dataclasses.replace(
+        p64,
+        coeff=p64.coeff.astype(jnp.float32),
+        b=p64.b.astype(jnp.float32),
+        diag=p64.diag.astype(jnp.float32),
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def _solve_refined_impl(p64: Problem, config: SolverConfig,
+                        x0: Optional[jax.Array]) -> tuple[jax.Array, SolveInfo]:
+    p32 = _downcast_problem(p64)
+    precond = _make_precond(p32, config)
+    b64 = p64.b
+    bnorm2 = jnp.maximum(_dot(b64, b64), jnp.finfo(jnp.float64).tiny)
+    tol2 = config.tol * config.tol * bnorm2
+    # Inner fp32 solves stagnate around ~1e-4 relative (rounding floor), so
+    # target a modest per-round reduction and let refinement rounds compound.
+    inner_tol = max(config.tol, 1e-4)
+
+    x = jnp.zeros_like(b64) if x0 is None else x0.astype(jnp.float64)
+    r = b64 - p64.apply(x)
+
+    def cond(state):
+        _, r, k, iters = state
+        return (_dot(r, r) > tol2) & (k < config.refine_rounds)
+
+    def body(state):
+        x, r, k, iters = state
+        d32, info = pcg(p32.apply, r.astype(jnp.float32),
+                        precond_fn=precond, tol=inner_tol,
+                        maxiter=config.maxiter,
+                        recompute_every=config.recompute_every)
+        x = x + d32.astype(jnp.float64)
+        r = b64 - p64.apply(x)
+        return x, r, k + 1, iters + info.iterations
+
+    x, r, k, iters = lax.while_loop(cond, body, (x, r, jnp.int32(0), jnp.int32(0)))
+    rel = jnp.sqrt(_dot(r, r) / bnorm2)
+    return x, SolveInfo(iterations=iters, rel_residual=rel.astype(jnp.float32),
+                        converged=rel <= config.tol)
+
+
+def solve_refined(
+    problem64: Problem,
+    config: SolverConfig = SolverConfig(),
+    x0: Optional[jax.Array] = None,
+) -> tuple[jax.Array, SolveInfo]:
+    """Mixed-precision solve to a TRUE ≤`tol` relative residual.
+
+    A plain fp32 solve bottoms out near 1e-4 relative residual, and even the
+    exactly-rounded fp32 solution of a 256²-class problem sits above 1e-6
+    (measured repr floor ≈ 2e-6) — so honest 1e-6 (`BASELINE.json:5`) requires
+    extended precision in exactly three places: the assembled operator/RHS,
+    the accumulated solution, and the outer residual. This driver keeps those
+    in float64 (software-emulated on TPU, off the hot path) and runs all CG
+    iterations in fast fp32 — classic mixed-precision iterative refinement.
+
+    ``problem64`` must be assembled with float64 leaves (use
+    ``assemble_precise`` / the ``precise=True`` driver paths).
+    """
+    with jax.enable_x64():
+        return _solve_refined_impl(problem64, config, x0)

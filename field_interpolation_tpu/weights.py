@@ -1,0 +1,63 @@
+"""Weight & solver configuration (reference: `Weights` struct, SURVEY.md §2 C3;
+config surface discussion in SURVEY.md §5).
+
+Field semantics mirror the reference API (`BASELINE.json:5` — "per-constraint
+weights all match the reference API"): ``data_pos``/``data_gradient`` scale the
+scattered value/gradient rows, ``model_0..3`` scale the per-order smoothness
+rows (SPEC.md).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+
+@dataclasses.dataclass(frozen=True)
+class Weights:
+    data_pos: float = 1.0
+    data_gradient: float = 1.0
+    model_0: float = 0.0
+    model_1: float = 0.0
+    model_2: float = 1.0
+    model_3: float = 0.0
+
+    def active_orders(self) -> tuple[int, ...]:
+        """Smoothness orders with nonzero weight (static, drives tracing)."""
+        ws = (self.model_0, self.model_1, self.model_2, self.model_3)
+        return tuple(k for k, w in enumerate(ws) if w != 0.0)
+
+    def model_weight(self, order: int) -> float:
+        return (self.model_0, self.model_1, self.model_2, self.model_3)[order]
+
+    def scaled_model(self, factors: tuple[float, float, float, float]) -> "Weights":
+        return dataclasses.replace(
+            self,
+            model_0=self.model_0 * factors[0],
+            model_1=self.model_1 * factors[1],
+            model_2=self.model_2 * factors[2],
+            model_3=self.model_3 * factors[3],
+        )
+
+
+@dataclasses.dataclass(frozen=True)
+class SolverConfig:
+    """PCG configuration (replaces the reference's implicit Eigen solver
+    choices, SURVEY.md §2 C7/C8)."""
+
+    tol: float = 1e-6          # relative residual target: ||b - Ax|| <= tol * ||b||
+    maxiter: int = 2000
+    preconditioner: str = "jacobi"   # "none" | "jacobi" | "multigrid"
+    # Multigrid V-cycle knobs (used when preconditioner == "multigrid"):
+    mg_pre_smooth: int = 2
+    mg_post_smooth: int = 2
+    mg_coarse_iters: int = 32
+    mg_omega: float = 0.8      # Jacobi damping as a fraction of the stability
+                               # limit: effective step τ = 2·mg_omega/ρ̂(D⁻¹A)
+    mg_min_size: int = 4       # stop coarsening when min(shape) <= this
+    # Recompute the true residual r = b - Ax every k iterations to cancel
+    # fp32 recurrence drift (the "fp64-equivalent residual check" strategy,
+    # BASELINE.json:5). 0 disables.
+    recompute_every: int = 50
+    # Max outer iterative-refinement rounds for solve_refined (each round is
+    # one fp32 PCG solve + one f64 residual evaluation).
+    refine_rounds: int = 6

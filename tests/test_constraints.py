@@ -1,0 +1,75 @@
+"""Unit tests for multilinear corner weights & row coefficients (SURVEY.md §4:
+'multilinear weight values at cell corners/centers (exact rationals)')."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from field_interpolation_tpu import Grid
+from field_interpolation_tpu.constraints import multilinear_corner_data
+
+
+def test_corner_weights_at_node_2d():
+    grid = Grid((5, 7))
+    # Exactly at node (2, 3): all weight on that corner.
+    pos = jnp.array([[2.0, 3.0]])
+    idx, rows, inb = multilinear_corner_data(grid, pos)
+    value_row = np.asarray(rows[0, 0])
+    np.testing.assert_allclose(value_row.sum(), 1.0, rtol=1e-6)
+    hot = np.flatnonzero(np.abs(value_row) > 1e-9)
+    assert len(hot) == 1
+    assert int(idx[0, hot[0]]) == 2 * 7 + 3
+    assert bool(inb[0])
+
+
+def test_corner_weights_cell_center_2d():
+    grid = Grid((4, 4))
+    pos = jnp.array([[1.5, 2.5]])
+    _, rows, _ = multilinear_corner_data(grid, pos)
+    np.testing.assert_allclose(np.asarray(rows[0, 0]), 0.25, rtol=1e-6)
+
+
+def test_corner_weights_sum_to_one(rng):
+    grid = Grid((6, 5, 4))
+    pos = jnp.asarray(rng.uniform(0, 3, size=(50, 3)))
+    _, rows, inb = multilinear_corner_data(grid, pos)
+    np.testing.assert_allclose(np.asarray(rows[:, 0, :]).sum(-1), 1.0, rtol=1e-5)
+    assert bool(jnp.all(inb))
+
+
+def test_gradient_rows_are_interp_partials(rng):
+    """Gradient row coefficients == d/dp of the value-row interpolation."""
+    grid = Grid((8, 8))
+    pos = jnp.asarray(rng.uniform(0.1, 6.9, size=(20, 2)))
+    field = rng.standard_normal(grid.shape).astype(np.float32)
+    idx, rows, _ = multilinear_corner_data(grid, pos)
+    corner_vals = field.ravel()[np.asarray(idx)]                 # [n, 4]
+    grad = np.einsum("nrc,nc->nr", np.asarray(rows[:, 1:, :]), corner_vals)
+
+    eps = 1e-4
+    for a in range(2):
+        dp = np.zeros(2)
+        dp[a] = eps
+        _, r_plus, _ = multilinear_corner_data(grid, pos + dp)
+        _, r_minus, _ = multilinear_corner_data(grid, pos - dp)
+        v_plus = np.einsum("nc,nc->n", np.asarray(r_plus[:, 0, :]), corner_vals)
+        v_minus = np.einsum("nc,nc->n", np.asarray(r_minus[:, 0, :]), corner_vals)
+        fd = (v_plus - v_minus) / (2 * eps)
+        np.testing.assert_allclose(grad[:, a], fd, atol=1e-2)
+
+
+def test_out_of_bounds_flagged():
+    grid = Grid((4, 4))
+    pos = jnp.array([[-0.5, 1.0], [1.0, 3.5], [3.0, 3.0], [0.0, 0.0]])
+    _, _, inb = multilinear_corner_data(grid, pos)
+    assert list(np.asarray(inb)) == [False, False, True, True]
+
+
+def test_nonfinite_positions_dropped():
+    """NaN/Inf sample positions must act like out-of-bounds samples (dropped),
+    not poison the scatter (found via runtime probing: 0·NaN = NaN)."""
+    grid = Grid((4, 4))
+    pos = jnp.array([[np.nan, 1.0], [np.inf, 1.0], [1.0, -np.inf], [1.0, 1.0]])
+    idx, rows, inb = multilinear_corner_data(grid, pos)
+    assert list(np.asarray(inb)) == [False, False, False, True]
+    assert bool(jnp.all(jnp.isfinite(rows)))
