@@ -1,0 +1,77 @@
+"""Batched solves: many independent fields at once via `vmap`.
+
+The reference solves one field per GUI frame; throughput mode
+(`BASELINE.json:9` — "Batched 2D: 1024 independent 128² fields via vmap") maps
+the whole assemble+solve pipeline over a leading batch axis. `lax.while_loop`'s
+batching rule masks finished lanes, so per-field convergence works inside one
+compiled loop that runs until every field is done.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from .grid import Grid
+from .operators import Problem, assemble
+from .solver import SolveInfo, solve
+from .weights import SolverConfig, Weights
+
+
+@functools.partial(jax.jit, static_argnames=("grid", "weights", "with_gradient"))
+def assemble_batch(
+    grid: Grid,
+    weights: Weights,
+    positions: jax.Array,                      # [B, n, D]
+    values: jax.Array,                         # [B, n]
+    gradients: Optional[jax.Array] = None,     # [B, n, D]
+    point_weights: Optional[jax.Array] = None,  # [B, n]
+    with_gradient: bool = True,
+) -> Problem:
+    """Assemble B independent problems; returned Problem leaves have a
+    leading batch axis."""
+    if gradients is None:
+        with_gradient = False
+
+    def one(p, v, g, pw):
+        return assemble(grid, weights, p, v,
+                        gradients=g if with_gradient else None,
+                        point_weights=pw)
+
+    in_axes = (0, 0, 0 if gradients is not None else None,
+               0 if point_weights is not None else None)
+    return jax.vmap(one, in_axes=in_axes)(positions, values, gradients,
+                                          point_weights)
+
+
+@functools.partial(jax.jit, static_argnames=("config",))
+def solve_batch(
+    problems: Problem,
+    config: SolverConfig = SolverConfig(),
+    x0: Optional[jax.Array] = None,
+) -> tuple[jax.Array, SolveInfo]:
+    """Solve B problems in one compiled batched PCG (BASELINE config 3)."""
+    def one(problem, x0_1):
+        return solve(problem, config, x0_1)
+
+    in_axes = (0, 0 if x0 is not None else None)
+    return jax.vmap(one, in_axes=in_axes)(problems, x0)
+
+
+def sdf_from_points_batch(
+    grid: Grid,
+    weights: Weights,
+    positions: jax.Array,                      # [B, n, D]
+    normals: jax.Array,                        # [B, n, D]
+    point_weights: Optional[jax.Array] = None,
+    config: SolverConfig = SolverConfig(),
+    x0: Optional[jax.Array] = None,
+) -> tuple[jax.Array, SolveInfo]:
+    """Batched flagship driver: B SDF reconstructions in one compiled solve."""
+    values = jnp.zeros(positions.shape[:2], dtype=jnp.float32)
+    problems = assemble_batch(grid, weights, positions, values,
+                              gradients=normals, point_weights=point_weights)
+    return solve_batch(problems, config, x0)

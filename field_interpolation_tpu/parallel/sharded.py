@@ -1,0 +1,217 @@
+"""Spatially-sharded solves: one large grid block-decomposed over the TPU mesh.
+
+The reference cannot scale past one core (dense vector + Cholesky,
+SURVEY.md §5 "long-context" row); the TPU-native scaling axis is domain
+decomposition (`BASELINE.json:11` — "Sharded 2D 4096² / 3D 256³ across v5p-8
+with halo exchange over ICI"):
+
+* Grid dim ``d`` is sharded over mesh axis ``mesh.axis_names[d]``; each device
+  owns one contiguous block of the lattice (plus the `coeff`/`b`/`diag`
+  leaves, co-sharded).
+* The whole PCG loop runs inside one `shard_map`. Per iteration:
+  - halo exchange via `lax.ppermute` (neighbor slabs of width = the operator
+    radius, sequential per axis so corner halos fill transitively). Edge
+    shards receive zeros from ppermute's no-source behavior — exactly the
+    zero-padding the unsharded operator uses.
+  - the smoothness composite conv runs on the halo-extended block with the
+    valid-window mask evaluated in GLOBAL coordinates (a row is emitted iff
+    its stencil window lies fully inside the global grid — the dropped-row
+    boundary policy must not appear at internal shard boundaries).
+  - CG inner products use `psum` over the mesh — the only global syncs per
+    iteration (SURVEY.md §5).
+
+Correctness contract (tested on 8 virtual CPU devices, SURVEY.md §4):
+sharded solve ≡ unsharded solve to fp32 reduction-order noise.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from .. import constraints as cons
+from .. import stencils
+from ..operators import Problem
+from ..solver import SolveInfo, pcg
+from ..weights import SolverConfig
+
+
+def _grid_partition_spec(mesh: Mesh, ndim: int, extra_dims: int = 0) -> P:
+    """Grid dim d <- mesh axis d (by order); trailing dims unsharded."""
+    names = list(mesh.axis_names[:ndim])
+    names += [None] * (ndim - len(names)) + [None] * extra_dims
+    return P(*names)
+
+
+def shard_problem(problem: Problem, mesh: Mesh) -> Problem:
+    """Place the problem's leaves on the mesh with the canonical sharding."""
+    nd = problem.grid.ndim
+    spec_g = _grid_partition_spec(mesh, nd)
+    spec_c = _grid_partition_spec(mesh, nd, extra_dims=1)
+    return Problem(
+        coeff=jax.device_put(problem.coeff, NamedSharding(mesh, spec_c)),
+        b=jax.device_put(problem.b, NamedSharding(mesh, spec_g)),
+        diag=jax.device_put(problem.diag, NamedSharding(mesh, spec_g)),
+        grid=problem.grid,
+        weights=problem.weights,
+    )
+
+
+def _halo_exchange(x: jax.Array, axis: int, h: int, axis_name: str,
+                   n_shards: int) -> jax.Array:
+    """Extend block by h on both sides along ``axis`` with neighbor data
+    (zeros at global edges, matching the unsharded zero-pad semantics)."""
+    if h == 0:
+        return x
+    n = x.shape[axis]
+    right_slab = lax.slice_in_dim(x, n - h, n, axis=axis)
+    left_slab = lax.slice_in_dim(x, 0, h, axis=axis)
+    if n_shards > 1:
+        # send my right slab to my right neighbor -> arrives as his left halo
+        from_left = lax.ppermute(right_slab, axis_name,
+                                 [(i, i + 1) for i in range(n_shards - 1)])
+        from_right = lax.ppermute(left_slab, axis_name,
+                                  [(i + 1, i) for i in range(n_shards - 1)])
+    else:
+        from_left = jnp.zeros_like(right_slab)
+        from_right = jnp.zeros_like(left_slab)
+    return jnp.concatenate([from_left, x, from_right], axis=axis)
+
+
+def _sharded_axis_normal_apply(x_ext: jax.Array, order: int, axis: int,
+                               h: int, n_glob: int, n_loc: int,
+                               global_start: jax.Array) -> jax.Array:
+    """(BᵀB)x along one SHARDED axis on the halo-extended block.
+
+    x_ext is extended by h >= order on both sides along ``axis``;
+    global_start is the global coordinate of the local block's first node.
+    Returns the local-block result (length n_loc along ``axis``)."""
+    taps = stencils.STENCIL_TAPS[order]
+    L = len(taps)
+    y = stencils._valid_corr(x_ext, taps, axis)
+    # Window r of x_ext starts at global coordinate (global_start - h + r);
+    # only windows fully inside the global grid correspond to emitted rows.
+    m = y.shape[axis]
+    win_g = (global_start - h) + lax.broadcasted_iota(jnp.int32, y.shape, axis)
+    y = jnp.where((win_g >= 0) & (win_g <= n_glob - L), y, 0.0)
+    z = stencils._full_conv_t(y, taps, axis, m + L - 1)  # length n_loc + 2h
+    return lax.slice_in_dim(z, h, h + n_loc, axis=axis)
+
+
+def make_sharded_apply(grid_shape: tuple[int, ...], weights, mesh: Mesh,
+                       coeff: jax.Array):
+    """Local-block operator apply with halo exchange, for use inside
+    shard_map. ``coeff`` is the local data-term block."""
+    ndim = len(grid_shape)
+    axis_names = mesh.axis_names[:ndim]
+    shards = tuple(mesh.shape[a] for a in axis_names) + (1,) * (ndim - len(axis_names))
+    radius = max(stencils.max_stencil_radius(weights), 1)
+
+    smooth_orders = [k for k in weights.active_orders() if k > 0]
+    w0_2 = weights.model_0 ** 2 if 0 in weights.active_orders() else 0.0
+
+    def apply_fn(x_loc: jax.Array) -> jax.Array:
+        # Sequential per-axis exchange fills corner halos transitively.
+        x_ext = x_loc
+        for d in range(ndim):
+            if shards[d] > 1 or True:  # same code covers the 1-shard case
+                x_ext = _halo_exchange(x_ext, d, radius,
+                                       axis_names[d] if d < len(axis_names) else None,
+                                       shards[d])
+        # x_ext now extended by `radius` along every grid axis.
+        out = jnp.zeros_like(x_loc)
+        if w0_2:
+            out = out + w0_2 * x_loc
+
+        for d in range(ndim):
+            n_loc = x_loc.shape[d]
+            n_glob = grid_shape[d]
+            if len(axis_names) > d and shards[d] > 1:
+                global_start = lax.axis_index(axis_names[d]) * n_loc
+            else:
+                global_start = jnp.int32(0)
+            # View extended only along axis d (crop other axes' halos).
+            view = x_ext
+            for d2 in range(ndim):
+                if d2 != d:
+                    view = lax.slice_in_dim(view, radius,
+                                            radius + x_loc.shape[d2], axis=d2)
+            for order in smooth_orders:
+                w2 = weights.model_weight(order) ** 2
+                out = out + w2 * _sharded_axis_normal_apply(
+                    view, order, d, radius, n_glob, n_loc, global_start)
+
+        # Data term: offsets in {-1,0,1}^D; crop the extension to ±1 so the
+        # shifted reads see neighbor values (coeff never references nodes
+        # outside the global grid, so no masking is needed).
+        x1 = x_ext
+        for d in range(ndim):
+            x1 = lax.slice_in_dim(x1, radius - 1, radius - 1 + x_loc.shape[d] + 2,
+                                  axis=d)
+        offsets = cons.offset_list(ndim)
+        data = jnp.zeros_like(x_loc)
+        for o_idx in range(offsets.shape[0]):
+            sl = tuple(slice(1 + int(o), 1 + int(o) + x_loc.shape[d])
+                       for d, o in enumerate(offsets[o_idx]))
+            data = data + coeff[..., o_idx] * x1[sl]
+        return out + data
+
+    return apply_fn
+
+
+def solve_sharded(
+    problem: Problem,
+    mesh: Mesh,
+    config: SolverConfig = SolverConfig(),
+    x0: Optional[jax.Array] = None,
+) -> tuple[jax.Array, SolveInfo]:
+    """Solve one large sharded problem with the full PCG loop inside
+    shard_map (halos over ICI; psum'd inner products).
+
+    The grid's dim d is sharded over mesh axis d; every sharded extent must
+    divide evenly. Preconditioners: "none" or "jacobi" (diag is local).
+    """
+    if config.preconditioner not in ("none", "jacobi"):
+        raise ValueError("sharded solve supports 'none' or 'jacobi' "
+                         f"preconditioning, got {config.preconditioner!r}")
+    grid = problem.grid
+    nd = grid.ndim
+    axis_names = mesh.axis_names[:nd]
+    for d, name in enumerate(axis_names):
+        if grid.shape[d] % mesh.shape[name] != 0:
+            raise ValueError(
+                f"grid dim {d} ({grid.shape[d]}) not divisible by mesh axis "
+                f"{name!r} ({mesh.shape[name]})")
+
+    spec_g = _grid_partition_spec(mesh, nd)
+    spec_c = _grid_partition_spec(mesh, nd, extra_dims=1)
+    all_names = tuple(axis_names)
+
+    def pdot(a, b):
+        return lax.psum(jnp.sum(a * b), all_names)
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh,
+        in_specs=(spec_c, spec_g, spec_g, spec_g),
+        out_specs=(spec_g, P()),
+    )
+    def body(coeff_l, b_l, diag_l, x0_l):
+        apply_fn = make_sharded_apply(grid.shape, problem.weights, mesh, coeff_l)
+        precond = None
+        if config.preconditioner == "jacobi":
+            inv_diag = jnp.where(diag_l > 0, 1.0 / diag_l, 1.0)
+            precond = lambda r: inv_diag * r
+        x, info = pcg(apply_fn, b_l, x0_l, precond,
+                      tol=config.tol, maxiter=config.maxiter,
+                      recompute_every=config.recompute_every, dot_fn=pdot)
+        return x, info
+
+    if x0 is None:
+        x0 = jnp.zeros_like(problem.b)
+    return jax.jit(body)(problem.coeff, problem.b, problem.diag, x0)

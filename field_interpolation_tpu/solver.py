@@ -56,17 +56,25 @@ def pcg(
     tol: float = 1e-6,
     maxiter: int = 2000,
     recompute_every: int = 50,
+    dot_fn: Optional[Callable[[jax.Array, jax.Array], jax.Array]] = None,
 ) -> tuple[jax.Array, SolveInfo]:
-    """Preconditioned CG on an SPD operator. Returns (x, SolveInfo)."""
+    """Preconditioned CG on an SPD operator. Returns (x, SolveInfo).
+
+    ``dot_fn`` overrides the inner product — the sharded path passes a
+    psum-reduced dot so each shard_map block sees globally consistent
+    scalars (SURVEY.md §5: the CG inner products are the only global syncs
+    per iteration).
+    """
     if precond_fn is None:
         precond_fn = lambda r: r
+    dot = _dot if dot_fn is None else dot_fn
     x = jnp.zeros_like(b) if x0 is None else x0
 
     r = b - apply_fn(x)
     z = precond_fn(r)
     p = z
-    rz = _dot(r, z)
-    b_norm2 = _dot(b, b)
+    rz = dot(r, z)
+    b_norm2 = dot(b, b)
     # Guard all-zero rhs: declare converged immediately with x = x0.
     tol2 = tol * tol * jnp.maximum(b_norm2, jnp.finfo(b.dtype).tiny)
 
@@ -77,7 +85,7 @@ def pcg(
     def body(state):
         x, r, p, rz, k, _ = state
         Ap = apply_fn(p)
-        pAp = _dot(p, Ap)
+        pAp = dot(p, Ap)
         alpha = jnp.where(pAp > 0, rz / pAp, 0.0)
         x = x + alpha * p
         # Periodic true-residual recomputation cancels fp32 drift.
@@ -90,17 +98,17 @@ def pcg(
         else:
             r = r - alpha * Ap
         z = precond_fn(r)
-        rz_new = _dot(r, z)
+        rz_new = dot(r, z)
         beta = jnp.where(rz > 0, rz_new / rz, 0.0)
         p = z + beta * p
-        done = _dot(r, r) <= tol2
+        done = dot(r, r) <= tol2
         return x, r, p, rz_new, k + 1, done
 
-    done0 = _dot(r, r) <= tol2
+    done0 = dot(r, r) <= tol2
     x, r, _, _, k, done = lax.while_loop(cond, body, (x, r, p, rz, jnp.int32(0), done0))
     # Exit diagnostics use a fresh true residual (honest reporting).
     r_true = b - apply_fn(x)
-    rel = jnp.sqrt(_dot(r_true, r_true) / jnp.maximum(b_norm2, jnp.finfo(b.dtype).tiny))
+    rel = jnp.sqrt(dot(r_true, r_true) / jnp.maximum(b_norm2, jnp.finfo(b.dtype).tiny))
     return x, SolveInfo(iterations=k, rel_residual=rel, converged=done)
 
 

@@ -1,0 +1,127 @@
+"""Sharded-solve tests on 8 virtual CPU devices (SURVEY.md §4 'distributed
+without a cluster'): sharded ≡ unsharded to fp32 reduction noise, across mesh
+shapes, stencil orders (halo widths), and dimensions."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+from field_interpolation_tpu import Grid, SolverConfig, Weights, solve
+from field_interpolation_tpu.operators import assemble
+from field_interpolation_tpu.parallel import shard_problem, solve_sharded
+
+
+def _mesh(shape, names):
+    devs = np.array(jax.devices()[: int(np.prod(shape))]).reshape(shape)
+    return Mesh(devs, axis_names=names)
+
+
+def _problem_2d(rng, grid, weights, n=80):
+    pos = rng.uniform(0, np.asarray(grid.shape) - 1, size=(n, grid.ndim))
+    vals = rng.standard_normal(n)
+    grads = rng.standard_normal((n, grid.ndim))
+    return assemble(grid, weights, jnp.asarray(pos, jnp.float32),
+                    jnp.asarray(vals, jnp.float32),
+                    gradients=jnp.asarray(grads, jnp.float32))
+
+
+@pytest.mark.parametrize("mesh_shape,names", [
+    ((8,), ("x",)),
+    ((2, 4), ("x", "y")),
+    ((4, 2), ("x", "y")),
+])
+def test_sharded_equals_unsharded_2d(rng, mesh_shape, names):
+    grid = Grid((32, 64))
+    weights = Weights(model_1=0.1, model_2=1.0)
+    problem = _problem_2d(rng, grid, weights)
+    cfg = SolverConfig(tol=1e-4, preconditioner="jacobi", maxiter=4000)
+
+    x_ref, info_ref = solve(problem, cfg)
+    mesh = _mesh(mesh_shape, names)
+    sharded = shard_problem(problem, mesh)
+    x_sh, info_sh = solve_sharded(sharded, mesh, cfg)
+
+    assert bool(info_sh.converged)
+    scale = np.abs(np.asarray(x_ref)).max()
+    np.testing.assert_allclose(np.asarray(x_sh), np.asarray(x_ref),
+                               atol=2e-3 * scale)
+
+
+@pytest.mark.parametrize("weights", [
+    Weights(model_0=0.1, model_2=1.0),
+    Weights(model_1=1.0),
+    Weights(model_3=0.5, model_2=0.2),   # radius-3 halos
+])
+def test_sharded_orders_and_boundaries(rng, weights):
+    """Internal shard boundaries must NOT look like grid boundaries: the
+    dropped-row policy applies only at global edges."""
+    grid = Grid((32, 32))
+    problem = _problem_2d(rng, grid, weights, n=50)
+    cfg = SolverConfig(tol=1e-4, preconditioner="jacobi", maxiter=6000)
+    x_ref, _ = solve(problem, cfg)
+    mesh = _mesh((2, 4), ("x", "y"))
+    x_sh, info_sh = solve_sharded(shard_problem(problem, mesh), mesh, cfg)
+    assert bool(info_sh.converged)
+    scale = np.abs(np.asarray(x_ref)).max()
+    np.testing.assert_allclose(np.asarray(x_sh), np.asarray(x_ref),
+                               atol=2e-3 * scale)
+
+
+def test_sharded_3d(rng):
+    grid = Grid((16, 16, 8))
+    weights = Weights(model_2=0.5)
+    n = 40
+    pos = rng.uniform(0, np.asarray(grid.shape) - 1, size=(n, 3))
+    vals = rng.standard_normal(n)
+    problem = assemble(grid, weights, jnp.asarray(pos, jnp.float32),
+                       jnp.asarray(vals, jnp.float32))
+    cfg = SolverConfig(tol=1e-4, preconditioner="jacobi", maxiter=4000)
+    x_ref, _ = solve(problem, cfg)
+    mesh = _mesh((2, 2, 2), ("x", "y", "z"))
+    x_sh, info_sh = solve_sharded(shard_problem(problem, mesh), mesh, cfg)
+    assert bool(info_sh.converged)
+    scale = np.abs(np.asarray(x_ref)).max()
+    np.testing.assert_allclose(np.asarray(x_sh), np.asarray(x_ref),
+                               atol=2e-3 * scale)
+
+
+def test_sharded_apply_matches_exactly(rng):
+    """The sharded operator apply itself (one matvec) must match the
+    unsharded apply almost bit-for-bit — isolates halo/mask bugs from CG
+    accumulation differences."""
+    from functools import partial
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from field_interpolation_tpu.parallel.sharded import (
+        _grid_partition_spec, make_sharded_apply)
+
+    grid = Grid((24, 40))
+    weights = Weights(model_1=0.2, model_2=1.0, model_3=0.3)
+    problem = _problem_2d(rng, grid, weights, n=60)
+    x = jnp.asarray(rng.standard_normal(grid.shape), jnp.float32)
+    want = problem.apply(x)
+
+    mesh = _mesh((2, 4), ("x", "y"))
+    spec_g = _grid_partition_spec(mesh, 2)
+    spec_c = _grid_partition_spec(mesh, 2, extra_dims=1)
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=(spec_c, spec_g),
+             out_specs=spec_g)
+    def apply_sharded(coeff_l, x_l):
+        return make_sharded_apply(grid.shape, weights, mesh, coeff_l)(x_l)
+
+    got = apply_sharded(problem.coeff, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_sharded_rejects_indivisible(rng):
+    grid = Grid((30, 32))
+    problem = _problem_2d(rng, grid, Weights(model_2=1.0), n=10)
+    mesh = _mesh((4, 2), ("x", "y"))
+    # device_put itself rejects the uneven layout; solve_sharded's own check
+    # covers problems sharded by other means.
+    with pytest.raises(ValueError, match="divisible"):
+        solve_sharded(shard_problem(problem, mesh), mesh)
+    with pytest.raises(ValueError, match="not divisible"):
+        solve_sharded(problem, mesh)
