@@ -1,0 +1,168 @@
+"""Iso-contour / iso-surface extraction from solved fields.
+
+Reference counterpart: marching squares used by the GUI to draw the zero level
+set of the reconstructed SDF (SURVEY.md §2 C10, §3.2). Host-side NumPy — a
+visualization/test aid, not perf-critical (SURVEY.md §2 C10 "TPU equivalent").
+
+2D: full marching squares (16 cases, midpoint disambiguation for saddles).
+3D: marching tetrahedra (each cell split into 6 tets — small case table, no
+256-entry MC table needed; produces a watertight-enough triangle soup for
+inspection and tests).
+
+Coordinates are lattice coordinates: vertex (r, c) means row r, column c,
+matching sample-position space (SPEC.md).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+# Marching-squares: cell corners indexed
+#   0: (r, c)   1: (r, c+1)   2: (r+1, c+1)   3: (r+1, c)
+# edges: 0: 0-1 (top), 1: 1-2 (right), 2: 3-2 (bottom), 3: 0-3 (left)
+_MS_EDGES = {
+    0: [], 15: [],
+    1: [(3, 0)], 14: [(3, 0)],
+    2: [(0, 1)], 13: [(0, 1)],
+    4: [(1, 2)], 11: [(1, 2)],
+    8: [(2, 3)], 7: [(2, 3)],
+    3: [(3, 1)], 12: [(3, 1)],
+    6: [(0, 2)], 9: [(0, 2)],
+    # saddles resolved by cell-center sign below
+    5: None, 10: None,
+}
+
+_EDGE_CORNERS = {0: (0, 1), 1: (1, 2), 2: (3, 2), 3: (0, 3)}
+_CORNER_OFFSET = np.array([(0, 0), (0, 1), (1, 1), (1, 0)], dtype=np.float64)
+
+
+def marching_squares(field: np.ndarray, level: float = 0.0) -> np.ndarray:
+    """Extract the iso-contour of a 2D field.
+
+    Returns segments [n, 2, 2] of (row, col) endpoints in lattice coords.
+    """
+    f = np.asarray(field, dtype=np.float64) - level
+    H, W = f.shape
+    segments = []
+
+    def edge_point(r, c, e):
+        a, b = _EDGE_CORNERS[e]
+        pa = _CORNER_OFFSET[a] + (r, c)
+        pb = _CORNER_OFFSET[b] + (r, c)
+        va = f[int(pa[0]), int(pa[1])]
+        vb = f[int(pb[0]), int(pb[1])]
+        t = 0.5 if va == vb else va / (va - vb)
+        return pa + t * (pb - pa)
+
+    for r in range(H - 1):
+        for c in range(W - 1):
+            corners = (f[r, c], f[r, c + 1], f[r + 1, c + 1], f[r + 1, c])
+            case = sum(1 << i for i, v in enumerate(corners) if v < 0)
+            edges = _MS_EDGES[case]
+            if edges is None:  # saddle: use cell-center average sign
+                center_neg = sum(corners) < 0
+                if case == 5:
+                    edges = [(0, 1), (2, 3)] if center_neg else [(3, 0), (1, 2)]
+                else:  # case 10
+                    edges = [(3, 0), (1, 2)] if center_neg else [(0, 1), (2, 3)]
+            for e0, e1 in edges:
+                segments.append((edge_point(r, c, e0), edge_point(r, c, e1)))
+    return (np.asarray(segments, dtype=np.float64) if segments
+            else np.zeros((0, 2, 2)))
+
+
+# Marching tetrahedra: split each cube cell into 6 tets (all sharing the
+# main diagonal 0-6). Cube corner k has offsets (bit0, bit1, bit2) applied to
+# axes (0, 1, 2) — NOTE corner index bits here are (z, y, x)-agnostic; we use
+# axis-order offsets directly.
+_CUBE_CORNERS = np.array([
+    (0, 0, 0), (0, 0, 1), (0, 1, 1), (0, 1, 0),
+    (1, 0, 0), (1, 0, 1), (1, 1, 1), (1, 1, 0),
+], dtype=np.float64)
+_TETS = [
+    (0, 1, 2, 6), (0, 2, 3, 6), (0, 3, 7, 6),
+    (0, 7, 4, 6), (0, 4, 5, 6), (0, 5, 1, 6),
+]
+
+
+def marching_tetrahedra(field: np.ndarray, level: float = 0.0) -> np.ndarray:
+    """Extract the iso-surface of a 3D field as a triangle soup.
+
+    Returns triangles [n, 3, 3] of (i, j, k) vertices in lattice coords.
+    """
+    f = np.asarray(field, dtype=np.float64) - level
+    NI, NJ, NK = f.shape
+    tris = []
+
+    def interp(p0, p1, v0, v1):
+        t = 0.5 if v0 == v1 else v0 / (v0 - v1)
+        return p0 + t * (p1 - p0)
+
+    for i in range(NI - 1):
+        for j in range(NJ - 1):
+            for k in range(NK - 1):
+                base = np.array((i, j, k), dtype=np.float64)
+                pts = _CUBE_CORNERS + base
+                vals = np.array([f[int(p[0]), int(p[1]), int(p[2])] for p in pts])
+                if vals.min() >= 0 or vals.max() < 0:
+                    continue
+                for tet in _TETS:
+                    tp = pts[list(tet)]
+                    tv = vals[list(tet)]
+                    neg = [t for t in range(4) if tv[t] < 0]
+                    if len(neg) == 0 or len(neg) == 4:
+                        continue
+                    pos = [t for t in range(4) if tv[t] >= 0]
+                    if len(neg) == 1 or len(pos) == 1:
+                        # one apex vs a triangle base -> one triangle
+                        apex = neg[0] if len(neg) == 1 else pos[0]
+                        others = [t for t in range(4) if t != apex]
+                        tri = [interp(tp[apex], tp[o], tv[apex], tv[o])
+                               for o in others]
+                        tris.append(tri)
+                    else:
+                        # 2-2 split -> quad -> two triangles
+                        a, b = neg
+                        c, d = pos
+                        q = [interp(tp[a], tp[c], tv[a], tv[c]),
+                             interp(tp[a], tp[d], tv[a], tv[d]),
+                             interp(tp[b], tp[d], tv[b], tv[d]),
+                             interp(tp[b], tp[c], tv[b], tv[c])]
+                        tris.append([q[0], q[1], q[2]])
+                        tris.append([q[0], q[2], q[3]])
+    return (np.asarray(tris, dtype=np.float64) if tris
+            else np.zeros((0, 3, 3)))
+
+
+def contour_polylines(segments: np.ndarray, tol: float = 1e-9) -> list[np.ndarray]:
+    """Chain marching-squares segments into polylines (closed where possible)."""
+    if len(segments) == 0:
+        return []
+    segs = [(tuple(s[0]), tuple(s[1])) for s in np.round(segments / tol) * tol]
+    # adjacency by endpoint
+    from collections import defaultdict
+    adj = defaultdict(list)
+    for i, (a, b) in enumerate(segs):
+        adj[a].append(i)
+        adj[b].append(i)
+    used = [False] * len(segs)
+    lines = []
+    for start in range(len(segs)):
+        if used[start]:
+            continue
+        used[start] = True
+        a, b = segs[start]
+        chain = [a, b]
+        # extend forward
+        cur = b
+        while True:
+            nxt = [i for i in adj[cur] if not used[i]]
+            if not nxt:
+                break
+            i = nxt[0]
+            used[i] = True
+            p, q = segs[i]
+            cur = q if p == cur else p
+            chain.append(cur)
+        lines.append(np.asarray(chain))
+    return lines

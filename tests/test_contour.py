@@ -1,0 +1,70 @@
+"""Iso-extraction tests (reference C10): marching squares on an analytic
+circle SDF must recover the circle; marching tetrahedra a sphere."""
+
+import numpy as np
+
+from field_interpolation_tpu.contour import (
+    contour_polylines,
+    marching_squares,
+    marching_tetrahedra,
+)
+
+
+def _circle_sdf(n, cx, cy, r):
+    yy, xx = np.meshgrid(np.arange(n), np.arange(n), indexing="ij")
+    return np.sqrt((yy - cy) ** 2 + (xx - cx) ** 2) - r
+
+
+def test_marching_squares_circle():
+    sdf = _circle_sdf(64, 31.5, 31.5, 20.0)
+    segs = marching_squares(sdf)
+    assert len(segs) > 0
+    pts = segs.reshape(-1, 2)
+    radii = np.sqrt(((pts - 31.5) ** 2).sum(1))
+    np.testing.assert_allclose(radii, 20.0, atol=0.05)
+    # Total length ~ circumference.
+    lengths = np.linalg.norm(segs[:, 0] - segs[:, 1], axis=1)
+    np.testing.assert_allclose(lengths.sum(), 2 * np.pi * 20, rtol=0.01)
+
+
+def test_marching_squares_levels_and_empty():
+    sdf = _circle_sdf(32, 15.5, 15.5, 8.0)
+    segs5 = marching_squares(sdf, level=5.0)   # radius-13 contour
+    pts = segs5.reshape(-1, 2)
+    np.testing.assert_allclose(np.sqrt(((pts - 15.5) ** 2).sum(1)), 13.0,
+                               atol=0.06)
+    assert len(marching_squares(sdf, level=100.0)) == 0
+    assert len(marching_squares(np.ones((8, 8)))) == 0
+
+
+def test_marching_squares_saddle_consistent():
+    """A saddle cell (case 5/10) must emit two segments, not cross."""
+    f = np.array([[1.0, -1.0], [-1.0, 1.0]])
+    segs = marching_squares(f)
+    assert len(segs) == 2
+
+
+def test_polyline_chaining():
+    sdf = _circle_sdf(48, 23.5, 23.5, 15.0)
+    lines = contour_polylines(marching_squares(sdf))
+    # One closed loop.
+    assert len(lines) == 1
+    loop = lines[0]
+    np.testing.assert_allclose(loop[0], loop[-1], atol=1e-6)
+
+
+def test_marching_tetrahedra_sphere():
+    n = 24
+    g = np.arange(n)
+    ii, jj, kk = np.meshgrid(g, g, g, indexing="ij")
+    c = (n - 1) / 2
+    sdf = np.sqrt((ii - c) ** 2 + (jj - c) ** 2 + (kk - c) ** 2) - 8.0
+    tris = marching_tetrahedra(sdf)
+    assert len(tris) > 0
+    verts = tris.reshape(-1, 3)
+    radii = np.sqrt(((verts - c) ** 2).sum(1))
+    np.testing.assert_allclose(radii, 8.0, atol=0.15)
+    # Surface area ~ 4*pi*r^2 within a few percent.
+    a, b, cc = tris[:, 0], tris[:, 1], tris[:, 2]
+    area = 0.5 * np.linalg.norm(np.cross(b - a, cc - a), axis=1).sum()
+    np.testing.assert_allclose(area, 4 * np.pi * 64, rtol=0.05)
