@@ -134,8 +134,13 @@ def _rho_bound(row_abs: jax.Array, diag: jax.Array) -> jax.Array:
     return jnp.max(row_abs / safe)
 
 
-def make_vcycle_preconditioner(problem: Problem, config: SolverConfig):
-    """Returns z = M⁻¹ r — one symmetric V-cycle on the normal operator."""
+def make_vcycle_preconditioner(problem: Problem, config: SolverConfig,
+                               apply_fn=None):
+    """Returns z = M⁻¹ r — one symmetric V-cycle on the normal operator.
+
+    ``apply_fn`` overrides the fine-level operator apply (e.g. the fused
+    Pallas kernel); coarse levels are small and stay on the XLA path."""
+    fine_apply = problem.apply if apply_fn is None else apply_fn
     levels = build_levels(problem, config)
     nu = config.mg_pre_smooth
 
@@ -149,7 +154,7 @@ def make_vcycle_preconditioner(problem: Problem, config: SolverConfig):
     ndim = problem.grid.ndim
     fine_rowabs = (stencils.smoothness_row_abs_sum(
         problem.grid.shape, problem.weights, problem.diag.dtype)
-        + jnp.sum(jnp.abs(problem.coeff), axis=-1))
+        + jnp.sum(jnp.abs(problem.coeff), axis=-(ndim + 1)))
     taus = [2.0 * config.mg_omega / _rho_bound(fine_rowabs, problem.diag)]
     for lvl in levels:
         rowabs = (stencils.smoothness_row_abs_sum(lvl.shape, lvl.weights,
@@ -163,7 +168,7 @@ def make_vcycle_preconditioner(problem: Problem, config: SolverConfig):
 
     def vcycle(r, level_idx):
         if level_idx == 0:
-            apply_fn, inv_diag = problem.apply, fine_inv_diag
+            apply_fn, inv_diag = fine_apply, fine_inv_diag
             shape = problem.grid.shape
         else:
             lvl = levels[level_idx - 1]

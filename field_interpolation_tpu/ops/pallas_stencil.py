@@ -1,0 +1,131 @@
+"""Fused Pallas TPU kernel for the normal-operator apply.
+
+The CG hot loop is one operator apply per iteration: smoothness composite
+convolutions + the 3^D-point data stencil (`BASELINE.json:5` — "AᵀA applied
+as a fixed finite-difference stencil convolution in Pallas plus scatter-add
+data terms"; the scatter is densified at assembly, constraints.py). Under
+XLA each apply is ~a dozen separate HBM round trips; this kernel fuses the
+whole apply into ONE pass with the field and coefficients VMEM-resident,
+which is what the ≥60%-of-HBM-roofline target requires.
+
+Kernel formulation: everything is static REF slices with read-modify-write
+accumulation into the output ref —
+* smoothness per axis/order: y = Σ_k s_k · x[k : k+m]  (the valid-window
+  correlate; the window restriction IS the slice bounds, so the reference's
+  dropped-row boundary policy costs nothing), then out[k : k+m] += s_k · y
+  per tap (the transposed full conv).
+* data term per offset o: out[region] += coeff[region, o] · x[region + o],
+  where region is the static intersection keeping both slices in bounds
+  (coefficients never reference out-of-grid pairs, so nothing is lost).
+Earlier formulations (jnp.pad shifts, pltpu.roll) hit Mosaic concat-layout
+limits or register-spilled hundreds of MB; slice-RMW keeps at most one
+array-sized temporary live.
+
+v1 scope: whole-array kernel for problems whose working set fits VMEM
+(~16 MB/core): 2D grids up to ~512² with the 9-channel coefficient tensor —
+covers the headline 256² benchmark. Larger grids fall back to the XLA path
+(`fits_vmem` gate); a striped/DMA variant is the planned follow-up.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from .. import constraints as cons
+from .. import stencils
+from ..weights import Weights
+
+try:  # Pallas import is deferred-safe: CPU-only installs still work.
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+    _HAVE_PALLAS = True
+except Exception:  # pragma: no cover
+    _HAVE_PALLAS = False
+
+# Leave headroom for Mosaic's intermediates: budget half of VMEM for the
+# explicit operands (x, coeff, out).
+_VMEM_BUDGET_BYTES = 8 * 1024 * 1024
+
+
+def fits_vmem(shape: tuple[int, ...], itemsize: int = 4) -> bool:
+    import math
+    n = math.prod(shape)
+    channels = 3 ** len(shape)
+    return _HAVE_PALLAS and (n * (channels + 2) * itemsize <= _VMEM_BUDGET_BYTES)
+
+
+def _slices(base, extra_axes_before=0, extra_axes_after=0):
+    return tuple([slice(None)] * extra_axes_before + list(base)
+                 + [slice(None)] * extra_axes_after)
+
+
+def _kernel_body(x_ref, c_ref, o_ref, weights: Weights, ndim: int):
+    shape = x_ref.shape
+    # Initialize with the order-0 term (emitted once per node).
+    if 0 in weights.active_orders():
+        o_ref[...] = (weights.model_0 ** 2) * x_ref[...]
+    else:
+        o_ref[...] = jnp.zeros(shape, x_ref.dtype)
+
+    # Smoothness: per axis/order, valid-correlate then transposed full conv,
+    # all as static slices (w² BᵀB with dropped-row boundaries exact).
+    for order in weights.active_orders():
+        if order == 0:
+            continue
+        taps = stencils.STENCIL_TAPS[order]
+        L = len(taps)
+        w2 = weights.model_weight(order) ** 2
+        for ax in range(ndim):
+            n = shape[ax]
+            if n < L:
+                continue
+            m = n - L + 1
+            y = None
+            for k, s in enumerate(taps):
+                sl = [slice(None)] * ndim
+                sl[ax] = slice(k, k + m)
+                t = s * x_ref[tuple(sl)]
+                y = t if y is None else y + t
+            for k, s in enumerate(taps):
+                sl = [slice(None)] * ndim
+                sl[ax] = slice(k, k + m)
+                o_ref[tuple(sl)] += (w2 * s) * y
+
+    # Data term: per 3^D offset, accumulate coeff·shifted-x over the static
+    # in-bounds intersection.
+    offsets = cons.offset_list(ndim)
+    for o_idx in range(offsets.shape[0]):
+        off = offsets[o_idx]
+        dst = []
+        src = []
+        for d in range(ndim):
+            o = int(off[d])
+            n = shape[d]
+            dst.append(slice(max(0, -o), n - max(0, o)))
+            src.append(slice(max(0, o), n - max(0, -o)))
+        dst = tuple(dst)
+        src = tuple(src)
+        o_ref[dst] += c_ref[(o_idx,) + dst] * x_ref[src]
+
+
+@functools.partial(jax.jit, static_argnames=("weights", "ndim", "interpret"))
+def fused_normal_apply(x: jax.Array, coeff: jax.Array, weights: Weights,
+                       ndim: int, interpret: bool = False) -> jax.Array:
+    """One-pass fused (S + DᵀWD) x for VMEM-resident problems."""
+
+    def kernel(x_ref, c_ref, o_ref):
+        _kernel_body(x_ref, c_ref, o_ref, weights, ndim)
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x, coeff)

@@ -42,18 +42,19 @@ from ..solver import SolveInfo, pcg
 from ..weights import SolverConfig
 
 
-def _grid_partition_spec(mesh: Mesh, ndim: int, extra_dims: int = 0) -> P:
-    """Grid dim d <- mesh axis d (by order); trailing dims unsharded."""
+def _grid_partition_spec(mesh: Mesh, ndim: int, lead_dims: int = 0) -> P:
+    """Grid dim d <- mesh axis d (by order); leading extra dims (e.g. the
+    coeff channel axis) unsharded."""
     names = list(mesh.axis_names[:ndim])
-    names += [None] * (ndim - len(names)) + [None] * extra_dims
-    return P(*names)
+    names += [None] * (ndim - len(names))
+    return P(*([None] * lead_dims + names))
 
 
 def shard_problem(problem: Problem, mesh: Mesh) -> Problem:
     """Place the problem's leaves on the mesh with the canonical sharding."""
     nd = problem.grid.ndim
     spec_g = _grid_partition_spec(mesh, nd)
-    spec_c = _grid_partition_spec(mesh, nd, extra_dims=1)
+    spec_c = _grid_partition_spec(mesh, nd, lead_dims=1)
     return Problem(
         coeff=jax.device_put(problem.coeff, NamedSharding(mesh, spec_c)),
         b=jax.device_put(problem.b, NamedSharding(mesh, spec_g)),
@@ -159,7 +160,7 @@ def make_sharded_apply(grid_shape: tuple[int, ...], weights, mesh: Mesh,
         for o_idx in range(offsets.shape[0]):
             sl = tuple(slice(1 + int(o), 1 + int(o) + x_loc.shape[d])
                        for d, o in enumerate(offsets[o_idx]))
-            data = data + coeff[..., o_idx] * x1[sl]
+            data = data + coeff[o_idx] * x1[sl]
         return out + data
 
     return apply_fn
@@ -190,7 +191,7 @@ def solve_sharded(
                 f"{name!r} ({mesh.shape[name]})")
 
     spec_g = _grid_partition_spec(mesh, nd)
-    spec_c = _grid_partition_spec(mesh, nd, extra_dims=1)
+    spec_c = _grid_partition_spec(mesh, nd, lead_dims=1)
     all_names = tuple(axis_names)
 
     def pdot(a, b):

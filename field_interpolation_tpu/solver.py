@@ -112,7 +112,31 @@ def pcg(
     return x, SolveInfo(iterations=k, rel_residual=rel, converged=done)
 
 
-def _make_precond(problem: Problem, config: SolverConfig):
+def _make_apply(problem: Problem, config: SolverConfig):
+    """Resolve the fp32 operator-apply backend (config.backend)."""
+    if config.backend == "xla":
+        return problem.apply
+    from .ops import pallas_stencil as ps
+    if not ps.fits_vmem(problem.grid.shape):
+        return problem.apply
+    platform = jax.devices()[0].platform
+    on_tpu = platform in ("tpu", "axon")
+    if config.backend == "auto" and not on_tpu:
+        return problem.apply
+    interpret = not on_tpu  # "pallas" off-TPU: interpret mode (tests)
+    weights, nd = problem.weights, problem.grid.ndim
+    coeff = problem.coeff
+
+    def apply_fn(x):
+        if x.dtype != jnp.float32:
+            return problem.apply(x)  # f64 outer path stays on XLA
+        return ps.fused_normal_apply(x, coeff.astype(jnp.float32), weights,
+                                     nd, interpret=interpret)
+
+    return apply_fn
+
+
+def _make_precond(problem: Problem, config: SolverConfig, apply_fn=None):
     if config.preconditioner == "none":
         return None
     if config.preconditioner == "jacobi":
@@ -120,7 +144,7 @@ def _make_precond(problem: Problem, config: SolverConfig):
         return lambda r: inv_diag * r
     if config.preconditioner == "multigrid":
         from .multigrid import make_vcycle_preconditioner
-        return make_vcycle_preconditioner(problem, config)
+        return make_vcycle_preconditioner(problem, config, apply_fn=apply_fn)
     raise ValueError(f"unknown preconditioner {config.preconditioner!r}")
 
 
@@ -132,11 +156,12 @@ def solve(
 ) -> tuple[jax.Array, SolveInfo]:
     """Solve the assembled problem; the reference's `solve_sparse_linear`
     (+`_with_guess` via ``x0``) equivalent (SURVEY.md §2 C7/C8)."""
+    apply_fn = _make_apply(problem, config)
     return pcg(
-        problem.apply,
+        apply_fn,
         problem.b,
         x0=x0,
-        precond_fn=_make_precond(problem, config),
+        precond_fn=_make_precond(problem, config, apply_fn),
         tol=config.tol,
         maxiter=config.maxiter,
         recompute_every=config.recompute_every,
@@ -156,16 +181,20 @@ def _downcast_problem(p64: Problem) -> Problem:
 def _solve_refined_impl(p64: Problem, config: SolverConfig,
                         x0: Optional[jax.Array]) -> tuple[jax.Array, SolveInfo]:
     p32 = _downcast_problem(p64)
-    precond = _make_precond(p32, config)
+    apply32 = _make_apply(p32, config)
+    precond = _make_precond(p32, config, apply32)
     b64 = p64.b
     bnorm2 = jnp.maximum(_dot(b64, b64), jnp.finfo(jnp.float64).tiny)
     tol2 = config.tol * config.tol * bnorm2
-    # Inner fp32 solves stagnate around ~1e-4 relative (rounding floor), so
-    # target a modest per-round reduction and let refinement rounds compound.
-    inner_tol = max(config.tol, 1e-4)
+    # fp32 inner solves stagnate around ~1e-4 relative (rounding floor).
+    floor = max(config.tol, 1e-4)
 
-    x = jnp.zeros_like(b64) if x0 is None else x0.astype(jnp.float64)
-    r = b64 - p64.apply(x)
+    if x0 is None:
+        x = jnp.zeros_like(b64)
+        r = b64  # skip one f64-emulated apply: r(0) = b
+    else:
+        x = x0.astype(jnp.float64)
+        r = b64 - p64.apply(x)
 
     def cond(state):
         _, r, k, iters = state
@@ -173,7 +202,14 @@ def _solve_refined_impl(p64: Problem, config: SolverConfig,
 
     def body(state):
         x, r, k, iters = state
-        d32, info = pcg(p32.apply, r.astype(jnp.float32),
+        # Each round only needs to shrink the CURRENT residual down to the
+        # final target — e.g. from 1e-4·||b|| a 1e-2 inner reduction suffices
+        # for 1e-6 overall. Solving every round to the fp32 floor wastes
+        # ~40% of the iterations.
+        rel = jnp.sqrt(_dot(r, r) / bnorm2)
+        inner_tol = jnp.clip(0.5 * config.tol / rel, floor, 0.5
+                             ).astype(jnp.float32)
+        d32, info = pcg(apply32, r.astype(jnp.float32),
                         precond_fn=precond, tol=inner_tol,
                         maxiter=config.maxiter,
                         recompute_every=config.recompute_every)

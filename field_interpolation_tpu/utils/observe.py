@@ -1,0 +1,100 @@
+"""Observability: per-solve structured records, timing, roofline accounting.
+
+Reference counterpart: the GUI's on-screen wall-time/RMSE readouts and emilib
+timers (SURVEY.md §5 "Tracing / profiling" and "Metrics / logging" rows). The
+rebuild emits structured per-solve records — iterations, relative residual,
+wall time, achieved GB/s vs the HBM roofline — as Python objects and optional
+JSON lines, suitable for the benchmark harness and production logging.
+
+For deep profiling use `jax.profiler.trace` around a solve; this module covers
+the always-on lightweight layer.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import dataclasses
+import json
+import math
+import time
+from typing import Optional, TextIO
+
+from ..grid import Grid
+from ..weights import Weights
+
+# Per-chip HBM bandwidth (GB/s) for roofline accounting. The bench rig is a
+# TPU v5e (819 GB/s); v5p is 2765 GB/s.
+HBM_GBPS = {"v5e": 819.0, "v5p": 2765.0, "v4": 1228.0}
+
+
+def roofline_bytes_per_apply(grid: Grid, dtype_bytes: int = 4) -> int:
+    """Minimum HBM traffic for one normal-operator apply: read x, read the
+    3^D data-coefficient channels, write the result (smoothness taps are
+    compile-time constants)."""
+    n = grid.num_nodes
+    channels = 3 ** grid.ndim
+    return n * dtype_bytes * (1 + channels + 1)
+
+
+@dataclasses.dataclass
+class SolveRecord:
+    """One solve's diagnostics (the structured version of the GUI readout)."""
+
+    grid_shape: tuple[int, ...]
+    iterations: int
+    rel_residual: float
+    converged: bool
+    wall_ms: float
+    solver: str = "pcg"
+    preconditioner: str = "jacobi"
+    achieved_gbps: Optional[float] = None
+    roofline_frac: Optional[float] = None
+    extra: dict = dataclasses.field(default_factory=dict)
+
+    def to_json(self) -> str:
+        d = dataclasses.asdict(self)
+        d["grid_shape"] = list(self.grid_shape)
+        return json.dumps(d)
+
+
+@contextlib.contextmanager
+def timed_block():
+    """Context manager yielding a dict that receives {'ms': wall_ms} on exit."""
+    out = {}
+    t0 = time.perf_counter()
+    try:
+        yield out
+    finally:
+        out["ms"] = (time.perf_counter() - t0) * 1e3
+
+
+def record_solve(grid: Grid, info, wall_ms: float, *,
+                 preconditioner: str = "jacobi", solver: str = "pcg",
+                 chip: str = "v5e", stream: Optional[TextIO] = None,
+                 **extra) -> SolveRecord:
+    """Build (and optionally emit as a JSON line) a SolveRecord from a
+    SolveInfo + measured wall time; estimates achieved bandwidth from the
+    iteration count and the per-apply roofline bytes."""
+    iters = int(info.iterations)
+    gbps = None
+    frac = None
+    if wall_ms > 0 and iters > 0:
+        moved = roofline_bytes_per_apply(grid) * iters
+        gbps = moved / (wall_ms * 1e-3) / 1e9
+        peak = HBM_GBPS.get(chip)
+        frac = gbps / peak if peak else None
+    rec = SolveRecord(
+        grid_shape=grid.shape,
+        iterations=iters,
+        rel_residual=float(info.rel_residual),
+        converged=bool(info.converged),
+        wall_ms=wall_ms,
+        solver=solver,
+        preconditioner=preconditioner,
+        achieved_gbps=gbps,
+        roofline_frac=frac,
+        extra=extra,
+    )
+    if stream is not None:
+        print(rec.to_json(), file=stream, flush=True)
+    return rec

@@ -47,6 +47,12 @@ class SolverConfig:
     tol: float = 1e-6          # relative residual target: ||b - Ax|| <= tol * ||b||
     maxiter: int = 2000
     preconditioner: str = "jacobi"   # "none" | "jacobi" | "multigrid"
+    # Operator-apply backend for the fp32 hot loop:
+    #   "auto"   — fused Pallas kernel on TPU when the problem fits VMEM,
+    #              else XLA shifts
+    #   "xla"    — always the XLA composite-conv path
+    #   "pallas" — force the fused kernel (interpret-mode off TPU: tests only)
+    backend: str = "auto"
     # Multigrid V-cycle knobs (used when preconditioner == "multigrid"):
     mg_pre_smooth: int = 2
     mg_post_smooth: int = 2

@@ -104,7 +104,7 @@ def test_sharded_apply_matches_exactly(rng):
 
     mesh = _mesh((2, 4), ("x", "y"))
     spec_g = _grid_partition_spec(mesh, 2)
-    spec_c = _grid_partition_spec(mesh, 2, extra_dims=1)
+    spec_c = _grid_partition_spec(mesh, 2, lead_dims=1)
 
     @partial(jax.shard_map, mesh=mesh, in_specs=(spec_c, spec_g),
              out_specs=spec_g)

@@ -1,0 +1,94 @@
+"""Tests for the auxiliary subsystems: Pallas kernel (interpret mode),
+observability records, visualization helpers, checkpoint/resume."""
+
+import io
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from field_interpolation_tpu import Grid, SolverConfig, Weights, solve
+from field_interpolation_tpu.operators import assemble
+
+
+def _problem(rng, shape, D, n=50, weights=None):
+    w = weights or Weights(model_0=0.05, model_1=0.1, model_2=0.7, model_3=0.2)
+    pos = rng.uniform(0, np.asarray(shape) - 1, (n, D)).astype(np.float32)
+    grads = rng.standard_normal((n, D)).astype(np.float32)
+    return w, assemble(Grid(shape), w, jnp.asarray(pos),
+                       jnp.zeros(n, jnp.float32), gradients=jnp.asarray(grads))
+
+
+@pytest.mark.parametrize("shape", [(64, 64), (48, 80), (16, 20, 12)])
+def test_pallas_kernel_matches_xla(rng, shape):
+    """The fused Pallas apply must equal the XLA apply (interpret mode on
+    CPU; the real-TPU compile is exercised by bench.py)."""
+    from field_interpolation_tpu.ops import fused_normal_apply
+    D = len(shape)
+    w, p = _problem(rng, shape, D)
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    got = fused_normal_apply(x, p.coeff, w, D, interpret=True)
+    want = p.apply(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_solve_record(rng):
+    from field_interpolation_tpu.utils import record_solve, timed_block
+    w, p = _problem(rng, (32, 32), 2)
+    with timed_block() as t:
+        x, info = solve(p, SolverConfig(tol=1e-3))
+        x.block_until_ready()
+    buf = io.StringIO()
+    rec = record_solve(p.grid, info, t["ms"], stream=buf, tag="unit")
+    assert rec.converged and rec.iterations > 0 and rec.wall_ms > 0
+    assert rec.achieved_gbps is not None
+    line = buf.getvalue()
+    assert '"grid_shape": [32, 32]' in line and '"tag": "unit"' in line
+
+
+def test_visualize_helpers(tmp_path):
+    from field_interpolation_tpu.contour import marching_squares
+    from field_interpolation_tpu.visualize import (
+        draw_contour, sdf_colormap, value_colormap, write_ppm)
+    yy, xx = np.meshgrid(np.arange(32), np.arange(32), indexing="ij")
+    sdf = np.sqrt((yy - 15.5) ** 2 + (xx - 15.5) ** 2) - 8.0
+    img = sdf_colormap(sdf)
+    assert img.shape == (32, 32, 3) and img.dtype == np.uint8
+    # inside (orange-ish: R>B) vs outside (blue-ish: B>R)
+    assert img[15, 15, 0] > img[15, 15, 2]
+    assert img[0, 0, 2] > img[0, 0, 0]
+    img2 = draw_contour(img, marching_squares(sdf))
+    p = tmp_path / "sdf.ppm"
+    write_ppm(str(p), img2)
+    assert p.read_bytes().startswith(b"P6\n32 32\n255\n")
+    v = value_colormap(sdf)
+    assert v.shape == (32, 32, 3)
+
+
+def test_checkpoint_roundtrip(rng, tmp_path):
+    from field_interpolation_tpu.checkpoint import load_state, save_state
+    w, p = _problem(rng, (24, 24), 2)
+    x, info = solve(p, SolverConfig(tol=1e-3))
+    path = str(tmp_path / "state.npz")
+    save_state(path, x, p.grid, w, iteration=int(info.iterations))
+    x2, grid2, w2, extra = load_state(path)
+    np.testing.assert_array_equal(x2, np.asarray(x))
+    assert grid2 == p.grid and w2 == w
+    assert extra["iteration"] == int(info.iterations)
+    # Resume = warm start: 0 further iterations needed.
+    _, info2 = solve(p, SolverConfig(tol=1e-3), x0=jnp.asarray(x2))
+    assert int(info2.iterations) == 0
+
+
+def test_pallas_backend_end_to_end(rng):
+    """solve(backend='pallas') must match solve(backend='xla') through the
+    full MG-PCG pipeline (interpret mode on CPU)."""
+    w, p = _problem(rng, (32, 32), 2, weights=Weights(model_2=0.3))
+    cfg_x = SolverConfig(tol=1e-4, preconditioner="multigrid", backend="xla")
+    cfg_p = SolverConfig(tol=1e-4, preconditioner="multigrid", backend="pallas")
+    xx, ix = solve(p, cfg_x)
+    xp, ip = solve(p, cfg_p)
+    assert bool(ip.converged)
+    np.testing.assert_allclose(np.asarray(xp), np.asarray(xx),
+                               atol=1e-3 * np.abs(np.asarray(xx)).max())
