@@ -34,26 +34,37 @@ from .operators import Problem
 from .weights import SolverConfig, Weights
 
 
-def _axis_resize(x: jax.Array, axis: int, n_out: int, square: bool = False) -> jax.Array:
-    """Separable endpoint-aligned linear resample along one axis.
+import functools
 
-    ``square=True`` uses squared interpolation weights (for transferring
-    diagonal/lumped quantities Galerkin-style)."""
-    n_in = x.shape[axis]
-    if n_in == n_out:
-        return x
-    src = jnp.linspace(0.0, n_in - 1.0, n_out, dtype=x.dtype)
-    lo = jnp.clip(jnp.floor(src).astype(jnp.int32), 0, n_in - 2)
-    t = src - lo.astype(x.dtype)
-    a = jnp.take(x, lo, axis=axis)
-    b = jnp.take(x, lo + 1, axis=axis)
-    shape = [1] * x.ndim
-    shape[axis] = n_out
-    w1 = t.reshape(shape)
-    w0 = 1.0 - w1
+import numpy as np
+
+
+@functools.lru_cache(maxsize=None)
+def _resize_matrix(n_out: int, n_in: int, square: bool = False) -> np.ndarray:
+    """Endpoint-aligned separable linear resample as an explicit [n_out, n_in]
+    matrix (static numpy constant). The restriction is literally ``P.T`` — no
+    jax.linear_transpose, which breaks inside shard_map (cotangent varying-
+    axis mismatch) — and the transfers run as small MXU matmuls.
+    ``square=True`` squares the interpolation weights (Galerkin transfer of
+    diagonal/lumped quantities)."""
+    src = np.linspace(0.0, n_in - 1.0, n_out)
+    lo = np.clip(np.floor(src).astype(int), 0, n_in - 2)
+    t = src - lo
+    w0, w1 = 1.0 - t, t
     if square:
         w0, w1 = w0 * w0, w1 * w1
-    return a * w0 + b * w1
+    P = np.zeros((n_out, n_in))
+    np.add.at(P, (np.arange(n_out), lo), w0)
+    np.add.at(P, (np.arange(n_out), lo + 1), w1)
+    return P
+
+
+def _apply_axis_matrix(x: jax.Array, P: np.ndarray, axis: int) -> jax.Array:
+    """Contract matrix P [n_out, n_in] with x's ``axis``."""
+    Pj = jnp.asarray(P, dtype=x.dtype)
+    out = jnp.tensordot(Pj, x, axes=[[1], [axis]],
+                        precision=jax.lax.Precision.HIGHEST)
+    return jnp.moveaxis(out, 0, axis)
 
 
 def prolong(xc: jax.Array, fine_shape: tuple[int, ...]) -> jax.Array:
@@ -61,31 +72,39 @@ def prolong(xc: jax.Array, fine_shape: tuple[int, ...]) -> jax.Array:
     base = xc.ndim - len(fine_shape)
     out = xc
     for d, n in enumerate(fine_shape):
-        out = _axis_resize(out, base + d, n)
+        if out.shape[base + d] != n:
+            out = _apply_axis_matrix(out, _resize_matrix(n, out.shape[base + d]),
+                                     base + d)
     return out
 
 
 def make_restrict(fine_shape: tuple[int, ...], coarse_shape: tuple[int, ...],
                   dtype=jnp.float32) -> Callable[[jax.Array], jax.Array]:
-    """R = Pᵀ exactly (jax.linear_transpose of the prolongation)."""
-    example = jax.ShapeDtypeStruct(coarse_shape, dtype)
-    t = jax.linear_transpose(lambda xc: prolong(xc, fine_shape), example)
-    return lambda rf: t(rf)[0]
+    """R = Pᵀ exactly (the transpose of the prolongation matrices)."""
+
+    def restrict(rf: jax.Array) -> jax.Array:
+        base = rf.ndim - len(fine_shape)
+        out = rf
+        for d in range(len(fine_shape)):
+            n_f, n_c = fine_shape[d], coarse_shape[d]
+            if n_f != n_c:
+                out = _apply_axis_matrix(out, _resize_matrix(n_f, n_c).T,
+                                         base + d)
+        return out
+
+    return restrict
 
 
 def restrict_diag(diag_f: jax.Array, coarse_shape: tuple[int, ...]) -> jax.Array:
     """Galerkin diagonal transfer: diag_c[j] = Σ_i P_ij² diag_f[i]."""
-    example = jax.ShapeDtypeStruct(coarse_shape, diag_f.dtype)
-
-    def p_sq(xc):
-        base = xc.ndim - len(diag_f.shape)
-        out = xc
-        for d, n in enumerate(diag_f.shape):
-            out = _axis_resize(out, base + d, n, square=True)
-        return out
-
-    t = jax.linear_transpose(p_sq, example)
-    return t(diag_f)[0]
+    base = diag_f.ndim - len(coarse_shape)
+    out = diag_f
+    for d in range(len(coarse_shape)):
+        n_f, n_c = diag_f.shape[base + d], coarse_shape[d]
+        if n_f != n_c:
+            out = _apply_axis_matrix(out, _resize_matrix(n_f, n_c, square=True).T,
+                                     base + d)
+    return out
 
 
 @dataclasses.dataclass(frozen=True)
@@ -166,6 +185,21 @@ def make_vcycle_preconditioner(problem: Problem, config: SolverConfig,
             z = z + tau * inv_diag * (r - apply_fn(z))
         return z
 
+    # Coarsest-level solver. "dense": materialize the coarsest operator by
+    # applying it to the identity basis ONCE at setup, invert, and each
+    # V-cycle's coarse solve becomes a single small matmul (exact and SPD;
+    # replaces ~mg_coarse_iters dispatch-bound Jacobi sweeps).
+    coarse_dense = None
+    if config.mg_coarse_solver == "dense" and levels:
+        lvl = levels[-1]
+        import math
+        n_c = math.prod(lvl.shape)
+        if n_c <= 4096:
+            eye = jnp.eye(n_c, dtype=lvl.diag.dtype).reshape((n_c,) + lvl.shape)
+            A_c = jax.vmap(lvl.apply)(eye).reshape(n_c, n_c).T
+            inv = jnp.linalg.inv(A_c)
+            coarse_dense = 0.5 * (inv + inv.T)  # exact symmetry for CG
+
     def vcycle(r, level_idx):
         if level_idx == 0:
             apply_fn, inv_diag = fine_apply, fine_inv_diag
@@ -177,6 +211,11 @@ def make_vcycle_preconditioner(problem: Problem, config: SolverConfig,
         tau = taus[level_idx]
 
         if level_idx == len(levels):  # coarsest
+            if coarse_dense is not None:
+                z = jnp.dot(coarse_dense, r.ravel(),
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=r.dtype)
+                return z.reshape(r.shape)
             z = jnp.zeros_like(r)
             return smooth(apply_fn, inv_diag, tau, r, z, config.mg_coarse_iters)
 

