@@ -12,6 +12,7 @@ from .grid import Grid, grid_2d, grid_3d
 from .weights import SolverConfig, Weights
 from .operators import Problem, assemble
 from .solver import SolveInfo, pcg, solve, solve_refined
+from .diff import solve_implicit
 from .sdf import (
     assemble_interpolation,
     assemble_precise,
@@ -35,6 +36,7 @@ __all__ = [
     "pcg",
     "solve",
     "solve_refined",
+    "solve_implicit",
     "assemble_sdf",
     "assemble_interpolation",
     "assemble_precise",

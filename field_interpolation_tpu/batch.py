@@ -53,7 +53,16 @@ def solve_batch(
     config: SolverConfig = SolverConfig(),
     x0: Optional[jax.Array] = None,
 ) -> tuple[jax.Array, SolveInfo]:
-    """Solve B problems in one compiled batched PCG (BASELINE config 3)."""
+    """Solve B problems in one compiled batched PCG (BASELINE config 3).
+
+    The multigrid coarsest level falls back to iterative Jacobi here: the
+    dense-inverse coarsest solver would build one n_c×n_c inverse PER LANE
+    under vmap (4 GB of HBM at B=1024, n_c=1024 — measured OOM)."""
+    import dataclasses
+    if (config.preconditioner == "multigrid"
+            and config.mg_coarse_solver == "dense"):
+        config = dataclasses.replace(config, mg_coarse_solver="jacobi")
+
     def one(problem, x0_1):
         return solve(problem, config, x0_1)
 

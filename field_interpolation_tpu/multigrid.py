@@ -134,7 +134,17 @@ def build_levels(problem: Problem, config: SolverConfig) -> list[_Level]:
     from .constraints import data_diag as _data_diag
     ddiag = _data_diag(problem.coeff, grid.ndim)
     shape = grid.shape
-    while min(shape) > config.mg_min_size:
+
+    def needs_coarsening(shape):
+        import math
+        if min(shape) > config.mg_min_size:
+            return True
+        # With the dense coarsest solver, keep coarsening until the node
+        # count is invertible (matters in 3D: 32³ nodes is far too big).
+        return (config.mg_coarse_solver == "dense"
+                and math.prod(shape) > 4096)
+
+    while needs_coarsening(shape):
         coarse = Grid(shape).coarsen()
         if coarse.shape == shape:
             break

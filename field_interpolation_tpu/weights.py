@@ -53,22 +53,26 @@ class SolverConfig:
     #   "xla"    — always the XLA composite-conv path
     #   "pallas" — force the fused kernel (interpret-mode off TPU: tests only)
     backend: str = "auto"
-    # Multigrid V-cycle knobs (used when preconditioner == "multigrid"):
-    mg_pre_smooth: int = 2
-    mg_post_smooth: int = 2
+    # Multigrid V-cycle knobs (used when preconditioner == "multigrid");
+    # defaults tuned on TPU v5e (256² SDF refined solve: 2.27 ms/field).
+    mg_pre_smooth: int = 3
+    mg_post_smooth: int = 3
     # Coarsest-level solver: "dense" factors the coarsest operator once at
     # setup (exact inverse, one small MXU matmul per V-cycle — dozens of
     # dispatch-bound Jacobi sweeps replaced by one op); "jacobi" iterates.
     mg_coarse_solver: str = "dense"
     mg_coarse_iters: int = 32  # used when mg_coarse_solver == "jacobi"
-    mg_omega: float = 0.8      # Jacobi damping as a fraction of the stability
+    mg_omega: float = 0.95     # Jacobi damping as a fraction of the stability
                                # limit: effective step τ = 2·mg_omega/ρ̂(D⁻¹A)
-    mg_min_size: int = 16      # stop coarsening when min(shape) <= this
+    mg_min_size: int = 32      # stop coarsening when min(shape) <= this
                                # (coarsest stays small enough to invert densely)
     # Recompute the true residual r = b - Ax every k iterations to cancel
-    # fp32 recurrence drift (the "fp64-equivalent residual check" strategy,
-    # BASELINE.json:5). 0 disables.
-    recompute_every: int = 50
+    # fp32 recurrence drift. 0 (default) disables: on TPU the in-loop
+    # lax.cond costs an extra operator apply EVERY iteration (~25% of solve
+    # time), and the mixed-precision refined driver already recomputes true
+    # residuals in f64 between rounds (the honest "fp64-equivalent residual
+    # check", BASELINE.json:5). Enable for very long standalone fp32 solves.
+    recompute_every: int = 0
     # Max outer iterative-refinement rounds for solve_refined (each round is
     # one fp32 PCG solve + one f64 residual evaluation).
     refine_rounds: int = 6
