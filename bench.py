@@ -88,7 +88,7 @@ def secondary_configs(log):
     u = rng.standard_normal((m, 3))
     u /= np.linalg.norm(u, axis=1, keepdims=True)
     pts3 = (63.5 + 40.0 * u).astype(np.float32)
-    cfg4 = fi.SolverConfig(tol=1e-4, preconditioner="multigrid", backend="xla")
+    cfg4 = fi.SolverConfig(tol=1e-4, preconditioner="multigrid", backend="auto")
     for _ in range(2):
         t0 = time.perf_counter()
         x3, info3 = fi.sdf_from_points(grid3, fi.Weights(model_2=0.3),

@@ -129,3 +129,147 @@ def fused_normal_apply(x: jax.Array, coeff: jax.Array, weights: Weights,
         out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
         interpret=interpret,
     )(x, coeff)
+
+
+# ---------------------------------------------------------------------------
+# Striped variant: grids too large for whole-array VMEM residency.
+# Stripe along axis 0; each program sees its (T, ...) output block, the
+# matching coefficient block, and fixed 8-row halo blocks above/below fetched
+# via CLAMPED index maps (no manual DMA, no padding). At global edges the
+# clamped halo contains wrong-but-harmless rows: the smoothness valid-window
+# mask (global coordinates) and the zero data coefficients already neutralize
+# every out-of-domain read.
+# ---------------------------------------------------------------------------
+
+def _halo(ndim: int) -> int:
+    # >= max stencil radius (3). In 2D axis 0 is the sublane dim, so keep it
+    # 8-aligned; in 3D axis 0 is untiled and 4 planes suffice.
+    return 8 if ndim <= 2 else 4
+
+
+def pick_stripe(shape: tuple[int, ...], itemsize: int = 4) -> int | None:
+    """Largest stripe T dividing axis 0 whose working set fits the budget."""
+    import math
+    rest = math.prod(shape[1:])
+    channels = 3 ** len(shape)
+    h = _halo(len(shape))
+    cands = (256, 128, 64, 32, 16, 8) if len(shape) <= 2 else (16, 8, 4)
+    for T in cands:
+        if shape[0] % T or T < h:
+            continue
+        est = (channels * T + 3 * T + 5 * h) * rest * itemsize
+        if est <= _VMEM_BUDGET_BYTES + 2 * 1024 * 1024:
+            return T
+    return None
+
+
+def _striped_kernel_body(prev_ref, cur_ref, next_ref, c_ref, o_ref,
+                         weights: Weights, ndim: int, n0_global: int, T: int):
+    h = _halo(ndim)
+    ext = jnp.concatenate([prev_ref[...], cur_ref[...], next_ref[...]], axis=0)
+    i = pl.program_id(0)
+    row0_global = i * T  # global row of the block's first output row
+
+    if 0 in weights.active_orders():
+        o_ref[...] = (weights.model_0 ** 2) * cur_ref[...]
+    else:
+        o_ref[...] = jnp.zeros(o_ref.shape, o_ref.dtype)
+
+    for order in weights.active_orders():
+        if order == 0:
+            continue
+        taps = stencils.STENCIL_TAPS[order]
+        L = len(taps)
+        w2 = weights.model_weight(order) ** 2
+
+        # Axis 0 (the striped axis): windows over ext, masked by GLOBAL
+        # validity, then the transposed conv back into the output block.
+        if n0_global >= L:
+            m = T + 2 * h - L + 1
+            y = None
+            for k, s in enumerate(taps):
+                t = s * ext[k:k + m]
+                y = t if y is None else y + t
+            win_g = (row0_global - h) + jax.lax.broadcasted_iota(
+                jnp.int32, y.shape, 0)
+            y = jnp.where((win_g >= 0) & (win_g <= n0_global - L), y, 0.0)
+            for k, s in enumerate(taps):
+                # out[t] += s_k * y[t + h - k], t in [0, T)
+                o_ref[...] += (w2 * s) * y[h - k:h - k + T]
+
+        # Remaining axes: full extent inside the block (same slice-RMW as
+        # the whole-array kernel).
+        for ax in range(1, ndim):
+            n = cur_ref.shape[ax]
+            if n < L:
+                continue
+            m = n - L + 1
+            y = None
+            for k, s in enumerate(taps):
+                sl = [slice(None)] * ndim
+                sl[ax] = slice(k, k + m)
+                t = s * cur_ref[tuple(sl)]
+                y = t if y is None else y + t
+            for k, s in enumerate(taps):
+                sl = [slice(None)] * ndim
+                sl[ax] = slice(k, k + m)
+                o_ref[tuple(sl)] += (w2 * s) * y
+
+    # Data term: rows come from ext (halo covers off-block reads; coeff is
+    # zero wherever the global pair would leave the grid).
+    offsets = cons.offset_list(ndim)
+    for o_idx in range(offsets.shape[0]):
+        off = offsets[o_idx]
+        o0 = int(off[0])
+        dst = [slice(0, T)]
+        src = [slice(h + o0, h + o0 + T)]
+        for d in range(1, ndim):
+            o = int(off[d])
+            n = cur_ref.shape[d]
+            dst.append(slice(max(0, -o), n - max(0, o)))
+            src.append(slice(max(0, o), n - max(0, -o)))
+        dst = tuple(dst)
+        src = tuple(src)
+        o_ref[dst] += c_ref[(o_idx,) + dst] * ext[src]
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("weights", "ndim", "stripe", "interpret"))
+def fused_normal_apply_striped(x: jax.Array, coeff: jax.Array,
+                               weights: Weights, ndim: int, stripe: int,
+                               interpret: bool = False) -> jax.Array:
+    """Striped fused apply for large grids (see module/stripe comments)."""
+    T = stripe
+    h = _halo(ndim)
+    n_blocks = x.shape[0] // T
+    hb = T // h  # halo-block index units
+    rest = x.shape[1:]
+    rest_zeros = (0,) * len(rest)
+
+    def prev_map(i):
+        return (jnp.maximum(i * hb - 1, 0),) + rest_zeros
+
+    def next_map(i):
+        return (jnp.minimum(i * hb + hb, n_blocks * hb - 1),) + rest_zeros
+
+    def kernel(prev_ref, cur_ref, next_ref, c_ref, o_ref):
+        _striped_kernel_body(prev_ref, cur_ref, next_ref, c_ref, o_ref,
+                             weights, ndim, x.shape[0], T)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        in_specs=[
+            pl.BlockSpec((h,) + rest, prev_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((T,) + rest, lambda i: (i,) + rest_zeros,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((h,) + rest, next_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((3 ** ndim, T) + rest,
+                         lambda i: (0, i) + rest_zeros,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((T,) + rest, lambda i: (i,) + rest_zeros,
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(x, x, x, coeff)

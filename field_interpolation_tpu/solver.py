@@ -113,11 +113,15 @@ def pcg(
 
 
 def _make_apply(problem: Problem, config: SolverConfig):
-    """Resolve the fp32 operator-apply backend (config.backend)."""
+    """Resolve the fp32 operator-apply backend (config.backend): whole-array
+    fused Pallas kernel when the problem fits VMEM, striped kernel when axis
+    0 tiles evenly, XLA shifts otherwise."""
     if config.backend == "xla":
         return problem.apply
     from .ops import pallas_stencil as ps
-    if not ps.fits_vmem(problem.grid.shape):
+    whole = ps.fits_vmem(problem.grid.shape)
+    stripe = None if whole else ps.pick_stripe(problem.grid.shape)
+    if not whole and stripe is None:
         return problem.apply
     platform = jax.devices()[0].platform
     on_tpu = platform in ("tpu", "axon")
@@ -130,8 +134,12 @@ def _make_apply(problem: Problem, config: SolverConfig):
     def apply_fn(x):
         if x.dtype != jnp.float32:
             return problem.apply(x)  # f64 outer path stays on XLA
-        return ps.fused_normal_apply(x, coeff.astype(jnp.float32), weights,
-                                     nd, interpret=interpret)
+        c32 = coeff.astype(jnp.float32)
+        if whole:
+            return ps.fused_normal_apply(x, c32, weights, nd,
+                                         interpret=interpret)
+        return ps.fused_normal_apply_striped(x, c32, weights, nd, stripe,
+                                             interpret=interpret)
 
     return apply_fn
 

@@ -92,3 +92,17 @@ def test_pallas_backend_end_to_end(rng):
     assert bool(ip.converged)
     np.testing.assert_allclose(np.asarray(xp), np.asarray(xx),
                                atol=1e-3 * np.abs(np.asarray(xx)).max())
+
+
+@pytest.mark.parametrize("shape,D", [((64, 48), 2), ((24, 16, 12), 3)])
+def test_striped_pallas_kernel_matches_xla(rng, shape, D):
+    """The striped (multi-block, halo-block) kernel must equal the XLA apply,
+    including at block seams and global edges (interpret mode)."""
+    from field_interpolation_tpu.ops.pallas_stencil import (
+        fused_normal_apply_striped)
+    w, p = _problem(rng, shape, D)
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    got = fused_normal_apply_striped(x, p.coeff, w, D, 16 if D == 2 else 8,
+                                     interpret=True)
+    want = p.apply(x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
