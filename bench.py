@@ -36,6 +36,58 @@ def make_circle_cloud(n, grid_shape, radius_frac=0.35, noise=0.2, seed=0):
     return pts.astype(np.float32), normals.astype(np.float32)
 
 
+def roofline_metric(log):
+    """Second headline metric (`BASELINE.json:2`): fused stencil-apply GB/s
+    vs the HBM roofline (v5e: 819 GB/s; target >= 60%, `BASELINE.json:5`).
+    Timed as K chained applies inside one jit (two K values difference out
+    the dispatch round trip)."""
+    import time
+
+    import jax
+    import jax.numpy as jnp
+    import field_interpolation_tpu as fi
+    from field_interpolation_tpu.ops.pallas_stencil import (
+        fits_vmem, fused_normal_apply, fused_normal_apply_striped, pick_stripe)
+    from field_interpolation_tpu.utils import roofline_bytes_per_apply
+
+    rng = np.random.default_rng(2)
+    for shape in [(256, 256), (1024, 1024)]:
+        grid = fi.Grid(shape)
+        w = fi.Weights(model_2=0.3)
+        pts, nrm = make_circle_cloud(1000, shape, seed=2)
+        p = fi.assemble_sdf(grid, w, jnp.asarray(pts), jnp.asarray(nrm))
+        x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+
+        if fits_vmem(shape):
+            f = lambda x, c: fused_normal_apply(x, c, w, 2)
+            kind = "whole-VMEM"
+        else:
+            T = pick_stripe(shape)
+            f = lambda x, c: fused_normal_apply_striped(x, c, w, 2, T)
+            kind = f"striped(T={T})"
+
+        def chain(K):
+            @jax.jit
+            def run(x, coeff):
+                def body(i, x):
+                    return f(x, coeff) * 1e-2
+                return jax.lax.fori_loop(0, K, body, x)
+            return run
+
+        Ks = (200, 1200) if fits_vmem(shape) else (100, 500)
+        ts = {}
+        for K in Ks:
+            r = chain(K)
+            float(jnp.sum(r(x, p.coeff)))
+            t0 = time.perf_counter()
+            float(jnp.sum(r(x, p.coeff)))
+            ts[K] = time.perf_counter() - t0
+        per = (ts[Ks[1]] - ts[Ks[0]]) / (Ks[1] - Ks[0])
+        gbs = roofline_bytes_per_apply(grid) / per / 1e9
+        log(f"[roofline] {shape} {kind} fused apply: {per * 1e6:.1f} us -> "
+            f"{gbs:.0f} GB/s = {gbs / 8.19:.0f}% of v5e HBM roofline")
+
+
 def secondary_configs(log):
     """The remaining BASELINE.md target configs, reported to stderr:
     1 (64² value-only CG), 3 (batched 128² throughput), 4 (3D 128³ MG)."""
@@ -163,6 +215,7 @@ def main():
     log(f"single-shot latency (incl. ~33 ms tunnel round trip): "
         f"{single_ms:.1f} ms")
 
+    roofline_metric(log)
     secondary_configs(log)
 
     if not bool(conv.all()) or float(rel.max()) > cfg.tol:

@@ -18,6 +18,7 @@ field_interpolation_tpu/native.py) for reference-speed host assembly.
 from __future__ import annotations
 
 import dataclasses
+import itertools
 import math
 from typing import Optional, Sequence
 
@@ -147,7 +148,6 @@ def add_field_constraints(eq: LinearEquation, grid: Grid, weights: Weights) -> N
             if n < L:
                 continue
             other = [range(shape[d]) if d != ax else [0] for d in range(D)]
-            import itertools
             for coord in itertools.product(*other):
                 base = sum(c * s for c, s in zip(coord, strides))
                 for start in range(n - L + 1):

@@ -21,10 +21,12 @@ Earlier formulations (jnp.pad shifts, pltpu.roll) hit Mosaic concat-layout
 limits or register-spilled hundreds of MB; slice-RMW keeps at most one
 array-sized temporary live.
 
-v1 scope: whole-array kernel for problems whose working set fits VMEM
-(~16 MB/core): 2D grids up to ~512² with the 9-channel coefficient tensor —
-covers the headline 256² benchmark. Larger grids fall back to the XLA path
-(`fits_vmem` gate); a striped/DMA variant is the planned follow-up.
+Two variants share the same body structure:
+* whole-array kernel — the full field + coefficients live in VMEM (2D up to
+  ~512²; the headline 256² case);
+* striped kernel — larger grids tile along axis 0 with clamped halo blocks
+  (see the striped section below); measured 88–100% of HBM roofline at
+  1024²–4096² on v5e.
 """
 
 from __future__ import annotations
@@ -55,11 +57,6 @@ def fits_vmem(shape: tuple[int, ...], itemsize: int = 4) -> bool:
     n = math.prod(shape)
     channels = 3 ** len(shape)
     return _HAVE_PALLAS and (n * (channels + 2) * itemsize <= _VMEM_BUDGET_BYTES)
-
-
-def _slices(base, extra_axes_before=0, extra_axes_after=0):
-    return tuple([slice(None)] * extra_axes_before + list(base)
-                 + [slice(None)] * extra_axes_after)
 
 
 def _kernel_body(x_ref, c_ref, o_ref, weights: Weights, ndim: int):
@@ -141,31 +138,39 @@ def fused_normal_apply(x: jax.Array, coeff: jax.Array, weights: Weights,
 # every out-of-domain read.
 # ---------------------------------------------------------------------------
 
-def _halo(ndim: int) -> int:
-    # >= max stencil radius (3). In 2D axis 0 is the sublane dim, so keep it
-    # 8-aligned; in 3D axis 0 is untiled and 4 planes suffice.
-    return 8 if ndim <= 2 else 4
+def _halo(ndim: int, radius: int = 3) -> int:
+    """Halo rows/planes above and below each stripe. Must cover the operator
+    radius (max active smoothness order, >=1 for the data box). In 2D axis 0
+    is the sublane dim, so stay 8-aligned; in 3D axis 0 is untiled, and a
+    tight halo matters because the 27-channel coeff block dominates VMEM."""
+    if ndim <= 2:
+        return 8
+    return 2 if radius <= 2 else 4
 
 
-def pick_stripe(shape: tuple[int, ...], itemsize: int = 4) -> int | None:
-    """Largest stripe T dividing axis 0 whose working set fits the budget."""
+def pick_stripe(shape: tuple[int, ...], radius: int = 3,
+                itemsize: int = 4) -> int | None:
+    """Largest stripe T dividing axis 0 whose working set fits VMEM.
+
+    The estimate doubles the coeff block (Mosaic double-buffers grid inputs —
+    a 204 KB overshoot at 3D 128³/T=4 was measured without this)."""
     import math
     rest = math.prod(shape[1:])
     channels = 3 ** len(shape)
-    h = _halo(len(shape))
-    cands = (256, 128, 64, 32, 16, 8) if len(shape) <= 2 else (16, 8, 4)
+    h = _halo(len(shape), radius)
+    cands = (256, 128, 64, 32, 16, 8) if len(shape) <= 2 else (16, 8, 4, 2)
     for T in cands:
-        if shape[0] % T or T < h:
+        if shape[0] % T or T < h or T % h:
             continue
-        est = (channels * T + 3 * T + 5 * h) * rest * itemsize
+        est = (2 * channels * T + 4 * T + 6 * h) * rest * itemsize
         if est <= _VMEM_BUDGET_BYTES + 2 * 1024 * 1024:
             return T
     return None
 
 
 def _striped_kernel_body(prev_ref, cur_ref, next_ref, c_ref, o_ref,
-                         weights: Weights, ndim: int, n0_global: int, T: int):
-    h = _halo(ndim)
+                         weights: Weights, ndim: int, n0_global: int, T: int,
+                         h: int):
     ext = jnp.concatenate([prev_ref[...], cur_ref[...], next_ref[...]], axis=0)
     i = pl.program_id(0)
     row0_global = i * T  # global row of the block's first output row
@@ -239,8 +244,9 @@ def fused_normal_apply_striped(x: jax.Array, coeff: jax.Array,
                                weights: Weights, ndim: int, stripe: int,
                                interpret: bool = False) -> jax.Array:
     """Striped fused apply for large grids (see module/stripe comments)."""
+    from .. import stencils as _st
     T = stripe
-    h = _halo(ndim)
+    h = _halo(ndim, max(_st.max_stencil_radius(weights), 1))
     n_blocks = x.shape[0] // T
     hb = T // h  # halo-block index units
     rest = x.shape[1:]
@@ -254,7 +260,7 @@ def fused_normal_apply_striped(x: jax.Array, coeff: jax.Array,
 
     def kernel(prev_ref, cur_ref, next_ref, c_ref, o_ref):
         _striped_kernel_body(prev_ref, cur_ref, next_ref, c_ref, o_ref,
-                             weights, ndim, x.shape[0], T)
+                             weights, ndim, x.shape[0], T, h)
 
     return pl.pallas_call(
         kernel,

@@ -119,8 +119,10 @@ def _make_apply(problem: Problem, config: SolverConfig):
     if config.backend == "xla":
         return problem.apply
     from .ops import pallas_stencil as ps
+    from .stencils import max_stencil_radius
     whole = ps.fits_vmem(problem.grid.shape)
-    stripe = None if whole else ps.pick_stripe(problem.grid.shape)
+    radius = max(max_stencil_radius(problem.weights), 1)
+    stripe = None if whole else ps.pick_stripe(problem.grid.shape, radius)
     if not whole and stripe is None:
         return problem.apply
     platform = jax.devices()[0].platform

@@ -156,3 +156,21 @@ def test_oracle_warm_start_and_approximate_lattice(rng):
     # Coarse solve is approximate: just require it's in the right ballpark.
     rel = np.linalg.norm(x_approx - x_direct) / np.linalg.norm(x_direct)
     assert rel < 0.5
+
+
+def test_1d_end_to_end(rng):
+    """1-D grids work through the whole pipeline (reference is N-D generic)."""
+    grid = Grid((128,))
+    weights = Weights(model_2=1.0)
+    pos = rng.uniform(0, 127, (30, 1))
+    vals = np.sin(pos[:, 0] / 20.0)
+    field, info = interpolate(grid, weights, jnp.asarray(pos, jnp.float32),
+                              jnp.asarray(vals, jnp.float32),
+                              config=SolverConfig(tol=1e-4,
+                                                  preconditioner="multigrid"))
+    assert bool(info.converged)
+    assert _rel_residual_f64(grid, weights, pos, vals, field) < 1e-3
+    # Field should roughly track the sine at sample locations.
+    idx = np.clip(np.round(pos[:, 0]).astype(int), 0, 127)
+    err = np.abs(np.asarray(field)[idx] - vals)
+    assert np.median(err) < 0.2
