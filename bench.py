@@ -120,7 +120,7 @@ def secondary_configs(log):
     nrm = np.stack([np.cos(theta), np.sin(theta)], -1).astype(np.float32)
     radii = rng.uniform(0.25, 0.4, (B, 1, 1)) * 128
     pts = (63.5 + radii * nrm).astype(np.float32)
-    cfg3 = fi.SolverConfig(tol=1e-4, preconditioner="multigrid", backend="xla")
+    cfg3 = fi.SolverConfig(tol=1e-4, preconditioner="multigrid", backend="auto")
     gridb = fi.Grid((128, 128))
     for _ in range(2):
         t0 = time.perf_counter()
