@@ -4,17 +4,18 @@ Generalizes the reference's 2-level coarse-lattice approximate solve
 (`solve_sparse_linear_approximate_lattice`, SURVEY.md §2 C9, §3.5) into a full
 V-cycle used as an SPD preconditioner for CG (`BASELINE.json:5,10`):
 
-* transfers — endpoint-aligned separable linear prolongation ``P``; the
-  restriction is exactly ``Pᵀ`` via `jax.linear_transpose`, which together with
-  symmetric pre/post damped-Jacobi smoothing makes the V-cycle a symmetric
-  positive-definite operator (safe inside CG).
+* transfers — endpoint-aligned separable linear prolongation ``P`` built as
+  explicit static matrices (tensordot/MXU); the restriction is literally
+  ``P.T``, which together with symmetric pre/post damped-Jacobi smoothing
+  makes the V-cycle a symmetric positive-definite operator (safe inside CG).
 * coarse operators — rediscretized smoothness with energy-matched weight
   scaling ``w_k ← w_k · 2^{(D-2k)/2}`` per coarsening (continuum argument:
   per-axis order-k row energy scales as ``h^{2k-D}``), plus a diagonally
   lumped data term ``diag_c = Pᵀ² diag_f`` (Galerkin diagonal of a diagonal
   matrix: squared interpolation weights).
-* coarsest level — fixed-count damped Jacobi from a zero guess (a symmetric
-  linear operation, so SPD-ness is preserved).
+* coarsest level — a dense inverse precomputed at setup (one small matmul
+  per V-cycle), or fixed-count damped Jacobi from a zero guess; both are
+  symmetric linear operations, so SPD-ness is preserved.
 
 Everything is static-shape and vmap/shard_map compatible; the level hierarchy
 is built at trace time from the static grid shape (SURVEY.md §7 hard-part #4).
@@ -164,11 +165,14 @@ def _rho_bound(row_abs: jax.Array, diag: jax.Array) -> jax.Array:
 
 
 def make_vcycle_preconditioner(problem: Problem, config: SolverConfig,
-                               apply_fn=None):
+                               apply_fn=None, pallas_smooth=False,
+                               pallas_interpret=False):
     """Returns z = M⁻¹ r — one symmetric V-cycle on the normal operator.
 
     ``apply_fn`` overrides the fine-level operator apply (e.g. the fused
-    Pallas kernel); coarse levels are small and stay on the XLA path."""
+    Pallas kernel). ``pallas_smooth`` runs each level's ν Jacobi sweeps as a
+    single VMEM-resident fused kernel (ops.pallas_stencil.fused_smooth) —
+    the dominant launch-overhead cost of the V-cycle at bench sizes."""
     fine_apply = problem.apply if apply_fn is None else apply_fn
     levels = build_levels(problem, config)
     nu = config.mg_pre_smooth
@@ -195,6 +199,35 @@ def make_vcycle_preconditioner(problem: Problem, config: SolverConfig,
             z = z + tau * inv_diag * (r - apply_fn(z))
         return z
 
+    # Optional fused Pallas smoothing: per level, a coefficient tensor in the
+    # kernel's (3^D, *grid) layout (coarse levels' data term is diagonal, so
+    # only the center channel is set) + τ·D⁻¹ folded together.
+    smoothers = None
+    if pallas_smooth:
+        from .ops.pallas_stencil import fits_vmem, fused_smooth
+        center = (3 ** ndim) // 2
+        smoothers = []
+        for li in range(len(levels) + 1):
+            if li == 0:
+                shape_l = problem.grid.shape
+                coeff_l = problem.coeff
+                weights_l = problem.weights
+                sid = taus[0] * fine_inv_diag
+            else:
+                lvl = levels[li - 1]
+                shape_l = lvl.shape
+                coeff_l = jnp.zeros((3 ** ndim,) + lvl.shape,
+                                    lvl.diag.dtype).at[center].set(lvl.data_diag)
+                weights_l = lvl.weights
+                sid = taus[li] * inv_diags[li - 1]
+            if not fits_vmem(shape_l):
+                smoothers.append(None)  # fall back to XLA sweeps
+                continue
+            smoothers.append(functools.partial(
+                fused_smooth, coeff=coeff_l.astype(jnp.float32),
+                scaled_inv_diag=sid.astype(jnp.float32), weights=weights_l,
+                ndim=ndim, interpret=pallas_interpret))
+
     # Coarsest-level solver. "dense": materialize the coarsest operator by
     # applying it to the identity basis ONCE at setup, invert, and each
     # V-cycle's coarse solve becomes a single small matmul (exact and SPD;
@@ -209,6 +242,15 @@ def make_vcycle_preconditioner(problem: Problem, config: SolverConfig,
             A_c = jax.vmap(lvl.apply)(eye).reshape(n_c, n_c).T
             inv = jnp.linalg.inv(A_c)
             coarse_dense = 0.5 * (inv + inv.T)  # exact symmetry for CG
+
+    def level_smooth(level_idx, apply_fn, inv_diag, tau, r, z, iters,
+                     from_zero):
+        sm = smoothers[level_idx] if smoothers is not None else None
+        if sm is not None:
+            return sm(r, z, sweeps=iters, from_zero=from_zero)
+        if from_zero:
+            z = jnp.zeros_like(r)
+        return smooth(apply_fn, inv_diag, tau, r, z, iters)
 
     def vcycle(r, level_idx):
         if level_idx == 0:
@@ -226,15 +268,16 @@ def make_vcycle_preconditioner(problem: Problem, config: SolverConfig,
                             precision=jax.lax.Precision.HIGHEST,
                             preferred_element_type=r.dtype)
                 return z.reshape(r.shape)
-            z = jnp.zeros_like(r)
-            return smooth(apply_fn, inv_diag, tau, r, z, config.mg_coarse_iters)
+            return level_smooth(level_idx, apply_fn, inv_diag, tau, r, r,
+                                config.mg_coarse_iters, True)
 
-        z = smooth(apply_fn, inv_diag, tau, r, jnp.zeros_like(r), nu)
+        z = level_smooth(level_idx, apply_fn, inv_diag, tau, r, r, nu, True)
         coarse_shape = levels[level_idx].shape
         restrict = make_restrict(shape, coarse_shape, r.dtype)
         rc = restrict(r - apply_fn(z))
         zc = vcycle(rc, level_idx + 1)
         z = z + prolong(zc, shape)
-        return smooth(apply_fn, inv_diag, tau, r, z, config.mg_post_smooth)
+        return level_smooth(level_idx, apply_fn, inv_diag, tau, r, z,
+                            config.mg_post_smooth, False)
 
     return lambda r: vcycle(r, 0)

@@ -154,7 +154,16 @@ def _make_precond(problem: Problem, config: SolverConfig, apply_fn=None):
         return lambda r: inv_diag * r
     if config.preconditioner == "multigrid":
         from .multigrid import make_vcycle_preconditioner
-        return make_vcycle_preconditioner(problem, config, apply_fn=apply_fn)
+        pallas_smooth = False
+        pallas_interpret = False
+        if config.backend != "xla" and problem.diag.dtype == jnp.float32:
+            platform = jax.devices()[0].platform
+            on_tpu = platform in ("tpu", "axon")
+            pallas_smooth = on_tpu or config.backend == "pallas"
+            pallas_interpret = not on_tpu
+        return make_vcycle_preconditioner(problem, config, apply_fn=apply_fn,
+                                          pallas_smooth=pallas_smooth,
+                                          pallas_interpret=pallas_interpret)
     raise ValueError(f"unknown preconditioner {config.preconditioner!r}")
 
 
