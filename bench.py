@@ -84,8 +84,12 @@ def roofline_metric(log):
             ts[K] = time.perf_counter() - t0
         per = (ts[Ks[1]] - ts[Ks[0]]) / (Ks[1] - Ks[0])
         gbs = roofline_bytes_per_apply(grid) / per / 1e9
+        pct = gbs / 8.19
+        note = (" (operands stayed VMEM-resident across chained applies — "
+                "compute-bound, HBM roofline not the binding limit)"
+                if pct > 110 else "")
         log(f"[roofline] {shape} {kind} fused apply: {per * 1e6:.1f} us -> "
-            f"{gbs:.0f} GB/s = {gbs / 8.19:.0f}% of v5e HBM roofline")
+            f"{gbs:.0f} GB/s = {pct:.0f}% of v5e HBM roofline{note}")
 
 
 def secondary_configs(log):

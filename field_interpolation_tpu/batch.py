@@ -70,6 +70,25 @@ def solve_batch(
     return jax.vmap(one, in_axes=in_axes)(problems, x0)
 
 
+def solve_refined_batch(
+    problems64: Problem,
+    config: SolverConfig = SolverConfig(),
+) -> tuple[jax.Array, SolveInfo]:
+    """Batched mixed-precision solves to TRUE ≤tol residual: vmap of
+    solver.solve_refined over problems assembled in float64 (e.g. via
+    vmap'ed assemble under jax.enable_x64). Dense coarsest MG falls back to
+    Jacobi for the same per-lane-inverse reason as solve_batch."""
+    import dataclasses
+
+    from .solver import _solve_refined_impl
+    if (config.preconditioner == "multigrid"
+            and config.mg_coarse_solver == "dense"):
+        config = dataclasses.replace(config, mg_coarse_solver="jacobi")
+    with jax.enable_x64():
+        return jax.vmap(lambda p: _solve_refined_impl(p, config, None))(
+            problems64)
+
+
 def sdf_from_points_batch(
     grid: Grid,
     weights: Weights,

@@ -194,20 +194,22 @@ def _make_coarse_correction(problem: Problem, mesh: Mesh):
     cshape = tuple(min(n, per_axis) for n in grid.shape)
     n_c = math.prod(cshape)
 
-    # Rediscretized coarse smoothness with anisotropic energy scaling:
-    # axis-d order-k term scales by f_d^{2k} / prod(f) (rows thin out by the
-    # coarse volume, derivatives grow by the per-axis jump factor).
+    # Rediscretized coarse smoothness with anisotropic energy matching:
+    # E_k,d ≈ w² · (spacing_d)^{2k} · (#rows ∝ 1/volume) · ∫(u^{(k)})², and
+    # coarse spacing along axis d is f_d fine units, coarse row count shrinks
+    # by vol = Π f — so matching the fine energy needs
+    # w_c² = w_f² · vol / f_d^{2k} (and w_c² = w_f² · vol for order 0).
     factors = [(grid.shape[d] - 1) / max(1, cshape[d] - 1) for d in range(nd)]
     vol = float(np.prod(factors))
     weights = problem.weights
     term_scale = {}
     for order in weights.active_orders():
         if order == 0:
-            term_scale[(0, 0)] = weights.model_0 ** 2 * vol ** 0  # per-node
+            term_scale[(0, 0)] = weights.model_0 ** 2 * vol
             continue
         for d in range(nd):
             term_scale[(order, d)] = (weights.model_weight(order) ** 2
-                                      * factors[d] ** (2 * order) / vol)
+                                      * vol / factors[d] ** (2 * order))
 
     ddiag_c = restrict_diag(cons.data_diag(problem.coeff, nd), cshape)
 

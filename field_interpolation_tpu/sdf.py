@@ -53,6 +53,42 @@ def sdf_from_points(
     return solve(problem, config, x0=x0)
 
 
+import dataclasses
+
+from . import constraints as cons
+from . import stencils
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class PreciseProblem:
+    """Mixed-precision problem for solver.solve_refined: the fast fp32
+    problem (densified data stencil, Pallas hot path) plus a float64 system
+    kept MATTER-FREE — per-sample weighted rows instead of a densified
+    coefficient tensor, because software-emulated f64 makes the dense 3^D
+    apply and its 16k-element assembly scatter the most expensive parts of
+    the refinement. The f64 apply is exact smoothness convs + tiny einsums
+    over [n, R, 2^D] rows + one small scatter."""
+
+    p32: Problem
+    b64: jax.Array          # [*grid] float64 — Aᵀb of the f64 system
+    corner_idx: jax.Array   # [n, 2^D] int32
+    rows64: jax.Array       # [n, R, 2^D] float64 — weight-scaled row coeffs
+    grid: Grid = dataclasses.field(metadata=dict(static=True))
+    weights: Weights = dataclasses.field(metadata=dict(static=True))
+
+    def apply64(self, x: jax.Array) -> jax.Array:
+        s = stencils.smoothness_apply(x, self.weights, self.grid.ndim)
+        xc = x.reshape(-1)[self.corner_idx]                     # [n, C]
+        y = jnp.einsum("nrc,nc->nr", self.rows64, xc,
+                       precision=jax.lax.Precision.HIGHEST)
+        contrib = jnp.einsum("nrc,nr->nc", self.rows64, y,
+                             precision=jax.lax.Precision.HIGHEST)
+        d = jnp.zeros((self.grid.num_nodes,), x.dtype
+                      ).at[self.corner_idx].add(contrib)
+        return s + d.reshape(self.grid.shape)
+
+
 def assemble_precise(
     grid: Grid,
     weights: Weights,
@@ -60,24 +96,52 @@ def assemble_precise(
     values: jax.Array,
     gradients: Optional[jax.Array] = None,
     point_weights: Optional[jax.Array] = None,
-) -> Problem:
-    """Assemble with float64 leaves for the mixed-precision refined solve
-    (solver.solve_refined). Run once, off the hot path."""
+) -> PreciseProblem:
+    """Assemble for the mixed-precision refined solve (solver.solve_refined):
+    a fast fp32 problem + a matter-free float64 system. Run once, off the
+    hot path."""
+    n = positions.shape[0]
     with jax.enable_x64():
-        n = positions.shape[0]
-        pw = (jnp.ones((n,), jnp.float64) if point_weights is None
-              else point_weights.astype(jnp.float64))
-        p64 = _assemble_f64(grid, weights, positions.astype(jnp.float64),
-                            values.astype(jnp.float64),
-                            None if gradients is None else gradients.astype(jnp.float64),
-                            pw)
-    return p64
+        pw64 = (jnp.ones((n,), jnp.float64) if point_weights is None
+                else point_weights.astype(jnp.float64))
+        pp = _assemble_precise_impl(grid, weights,
+                                    positions.astype(jnp.float64),
+                                    values.astype(jnp.float64),
+                                    None if gradients is None
+                                    else gradients.astype(jnp.float64),
+                                    pw64)
+    return pp
 
 
 @functools.partial(jax.jit, static_argnames=("grid", "weights"))
-def _assemble_f64(grid, weights, positions, values, gradients, point_weights):
-    return assemble(grid, weights, positions, values, gradients=gradients,
-                    point_weights=point_weights)
+def _assemble_precise_impl(grid, weights, positions, values, gradients,
+                           point_weights):
+    with_gradient = gradients is not None
+    corner_idx, row_coeffs, in_bounds = cons.multilinear_corner_data(
+        grid, positions)
+    row_w = cons.sample_row_weights(weights, in_bounds, point_weights,
+                                    grid.ndim, with_gradient)
+    if with_gradient:
+        row_t = jnp.concatenate([values[:, None], gradients], axis=1)
+    else:
+        row_coeffs = row_coeffs[:, :1, :]
+        row_w = row_w[:, :1]
+        row_t = values[:, None]
+    rows64 = row_coeffs * row_w[:, :, None]
+    tw = row_t * row_w
+    bvec = jnp.einsum("nrc,nr->nc", rows64, tw,
+                      precision=jax.lax.Precision.HIGHEST)
+    b64 = jnp.zeros((grid.num_nodes,), jnp.float64
+                    ).at[corner_idx].add(bvec).reshape(grid.shape)
+
+    # fp32 problem from the same (f64-rounded) inputs.
+    p32 = assemble(grid, weights, positions.astype(jnp.float32),
+                   values.astype(jnp.float32),
+                   gradients=None if gradients is None
+                   else gradients.astype(jnp.float32),
+                   point_weights=point_weights.astype(jnp.float32))
+    return PreciseProblem(p32=p32, b64=b64, corner_idx=corner_idx,
+                          rows64=rows64, grid=grid, weights=weights)
 
 
 def sdf_from_points_precise(

@@ -197,12 +197,21 @@ def _downcast_problem(p64: Problem) -> Problem:
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
-def _solve_refined_impl(p64: Problem, config: SolverConfig,
+def _solve_refined_impl(p64, config: SolverConfig,
                         x0: Optional[jax.Array]) -> tuple[jax.Array, SolveInfo]:
-    p32 = _downcast_problem(p64)
+    # Accept either a float64-assembled Problem (legacy) or the matter-free
+    # PreciseProblem (sdf.assemble_precise) whose f64 data term stays in
+    # per-sample form — much cheaper under f64 emulation on TPU.
+    if hasattr(p64, "apply64"):
+        p32 = p64.p32
+        apply64 = p64.apply64
+        b64 = p64.b64
+    else:
+        p32 = _downcast_problem(p64)
+        apply64 = p64.apply
+        b64 = p64.b
     apply32 = _make_apply(p32, config)
     precond = _make_precond(p32, config, apply32)
-    b64 = p64.b
     bnorm2 = jnp.maximum(_dot(b64, b64), jnp.finfo(jnp.float64).tiny)
     tol2 = config.tol * config.tol * bnorm2
     # fp32 inner solves stagnate around ~1e-4 relative (rounding floor).
@@ -213,7 +222,7 @@ def _solve_refined_impl(p64: Problem, config: SolverConfig,
         r = b64  # skip one f64-emulated apply: r(0) = b
     else:
         x = x0.astype(jnp.float64)
-        r = b64 - p64.apply(x)
+        r = b64 - apply64(x)
 
     def cond(state):
         _, r, k, iters = state
@@ -233,7 +242,7 @@ def _solve_refined_impl(p64: Problem, config: SolverConfig,
                         maxiter=config.maxiter,
                         recompute_every=config.recompute_every)
         x = x + d32.astype(jnp.float64)
-        r = b64 - p64.apply(x)
+        r = b64 - apply64(x)
         return x, r, k + 1, iters + info.iterations
 
     x, r, k, iters = lax.while_loop(cond, body, (x, r, jnp.int32(0), jnp.int32(0)))

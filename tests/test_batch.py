@@ -80,3 +80,26 @@ def test_batched_value_interpolation(rng):
     xb, infob = solve_batch(problems, SolverConfig(tol=1e-4))
     assert xb.shape == (6, 20, 20)
     assert bool(jnp.all(infob.converged))
+
+
+def test_batched_refined_to_1e6(rng):
+    """Batched TRUE-1e-6 mode: vmap of the mixed-precision refined solve."""
+    import jax
+    from field_interpolation_tpu.batch import solve_refined_batch
+    grid = Grid((32, 32))
+    weights = Weights(model_2=0.3)
+    B = 3
+    theta = rng.uniform(0, 2 * np.pi, (B, 60))
+    nrm = np.stack([np.cos(theta), np.sin(theta)], -1)
+    pts = 15.5 + 10.0 * nrm
+    with jax.enable_x64():
+        def one(p, n):
+            return assemble(grid, weights, p, jnp.zeros(60, jnp.float64),
+                            gradients=n)
+        p64 = jax.vmap(one)(jnp.asarray(pts, jnp.float64),
+                            jnp.asarray(nrm, jnp.float64))
+    xb, ib = solve_refined_batch(p64, SolverConfig(tol=1e-6,
+                                                   preconditioner="multigrid",
+                                                   backend="xla"))
+    assert bool(jnp.all(ib.converged))
+    assert float(jnp.max(ib.rel_residual)) <= 1e-6
