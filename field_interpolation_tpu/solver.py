@@ -266,8 +266,9 @@ def solve_refined(
     in float64 (software-emulated on TPU, off the hot path) and runs all CG
     iterations in fast fp32 — classic mixed-precision iterative refinement.
 
-    ``problem64`` must be assembled with float64 leaves (use
-    ``assemble_precise`` / the ``precise=True`` driver paths).
+    ``problem64`` is a PreciseProblem from ``sdf.assemble_precise`` (fp32
+    fast path + matter-free float64 system), or — legacy — a Problem whose
+    leaves were assembled in float64.
     """
     with jax.enable_x64():
         return _solve_refined_impl(problem64, config, x0)
