@@ -243,6 +243,38 @@ def make_vcycle_preconditioner(problem: Problem, config: SolverConfig,
             inv = jnp.linalg.inv(A_c)
             coarse_dense = 0.5 * (inv + inv.T)  # exact symmetry for CG
 
+    # Whole-V-cycle Pallas kernel (2D, VMEM-fit, dense coarsest, symmetric
+    # smoothing): replaces ~40 small XLA ops per preconditioner application
+    # with ONE kernel — everything (all levels, transfers, the dense solve)
+    # stays in VMEM.
+    if (pallas_smooth and ndim == 2 and coarse_dense is not None
+            and smoothers is not None and all(s is not None for s in smoothers)
+            and config.mg_pre_smooth == config.mg_post_smooth):
+        from .ops.pallas_stencil import fused_vcycle_2d
+        center = (3 ** ndim) // 2
+        shapes_all = [problem.grid.shape] + [l.shape for l in levels]
+        coeffs = [problem.coeff.astype(jnp.float32)]
+        sids = [(taus[0] * fine_inv_diag).astype(jnp.float32)]
+        lw = [problem.weights]
+        for i, lvl in enumerate(levels):
+            coeffs.append(jnp.zeros((3 ** ndim,) + lvl.shape, jnp.float32
+                                    ).at[center].set(lvl.data_diag))
+            sids.append((taus[i + 1] * inv_diags[i]).astype(jnp.float32))
+            lw.append(lvl.weights)
+        Rs = []
+        for i in range(len(shapes_all) - 1):
+            for d in range(2):
+                Rs.append(jnp.asarray(
+                    _resize_matrix(shapes_all[i][d], shapes_all[i + 1][d]).T,
+                    jnp.float32))
+        inv32 = coarse_dense.astype(jnp.float32)
+        vmem_est = (sum(c.size for c in coeffs) + inv32.size
+                    + 3 * problem.grid.num_nodes) * 4
+        if vmem_est <= 12 * 1024 * 1024:
+            return lambda r: fused_vcycle_2d(
+                r, coeffs, sids, Rs, inv32, lw, config.mg_pre_smooth,
+                config.mg_post_smooth, interpret=pallas_interpret)
+
     def level_smooth(level_idx, apply_fn, inv_diag, tau, r, z, iters,
                      from_zero):
         sm = smoothers[level_idx] if smoothers is not None else None

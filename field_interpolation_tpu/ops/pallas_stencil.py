@@ -321,3 +321,147 @@ def fused_smooth(r: jax.Array, z: jax.Array, coeff: jax.Array,
         scratch_shapes=[pltpu.VMEM(z.shape, z.dtype)],
         interpret=interpret,
     )(r, z, coeff, scaled_inv_diag)
+
+
+# ---------------------------------------------------------------------------
+# Whole-V-cycle kernels (2D, VMEM-fit problems): the entire symmetric V-cycle
+# runs as TWO Pallas calls (down-sweep and up-sweep) plus one XLA dense
+# matvec for the coarsest solve — Mosaic cannot reshape (nc0, nc1) ->
+# (nc0*nc1, 1) in-kernel, and everything else replaces ~40 small XLA ops.
+# ---------------------------------------------------------------------------
+
+
+def _smooth_inplace(z_ref, r_ref, c_ref, sid_ref, az_ref, weights, ndim,
+                    sweeps, from_zero):
+    """z <- z + sid*(r - A z), `sweeps` times (sid = tau*D^-1)."""
+    if from_zero:
+        z_ref[...] = sid_ref[...] * r_ref[...]
+        sweeps = sweeps - 1
+    for _ in range(sweeps):
+        _kernel_body(z_ref, c_ref, az_ref, weights, ndim)
+        z_ref[...] = z_ref[...] + sid_ref[...] * (r_ref[...] - az_ref[...])
+
+
+def _mm(a, b):
+    return jnp.dot(a, b, preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
+
+
+def _vc_down_call(r, coeffs, sids, Rs, level_weights, nu_pre, interpret):
+    """Pre-smooth + residual-restrict at every level; returns the per-level
+    partial solutions z_0..z_{L-2} and residuals r_1..r_{L-1}."""
+    L = len(coeffs)
+    shapes = [c.shape[1:] for c in coeffs]
+
+    def kernel(*refs):
+        cur = [0]
+
+        def take(k):
+            out = refs[cur[0]:cur[0] + k]
+            cur[0] += k
+            return out
+
+        (r0_ref,) = take(1)
+        c_refs = take(L)
+        sid_refs = take(L)
+        R_refs = take(2 * (L - 1))
+        z_refs = take(L - 1)          # outputs
+        r_out_refs = take(L - 1)      # outputs: r_1..r_{L-1}
+        az_refs = take(L - 1)         # scratch
+        r_refs = (r0_ref,) + r_out_refs
+
+        for l in range(L - 1):
+            _smooth_inplace(z_refs[l], r_refs[l], c_refs[l], sid_refs[l],
+                            az_refs[l], level_weights[l], 2, nu_pre, True)
+            _kernel_body(z_refs[l], c_refs[l], az_refs[l], level_weights[l], 2)
+            res = r_refs[l][...] - az_refs[l][...]
+            R0 = R_refs[2 * l][...]
+            R1 = R_refs[2 * l + 1][...]
+            r_refs[l + 1][...] = _mm(_mm(R0, res), R1.T)
+
+    out_shape = ([jax.ShapeDtypeStruct(shapes[l], jnp.float32)
+                  for l in range(L - 1)]
+                 + [jax.ShapeDtypeStruct(shapes[l], jnp.float32)
+                    for l in range(1, L)])
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=tuple(out_shape),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * (4 * L - 1),
+        out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)]
+                        * (2 * (L - 1))),
+        scratch_shapes=[pltpu.VMEM(shapes[l], jnp.float32)
+                        for l in range(L - 1)],
+        interpret=interpret,
+    )(r, *coeffs, *sids, *Rs)
+    zs = outs[:L - 1]
+    rs = outs[L - 1:]
+    return zs, rs
+
+
+def _vc_up_call(zs, zc, rs_all, coeffs, sids, Rs, level_weights, nu_post,
+                interpret):
+    """Prolong-add + post-smooth from the coarsest solution zc upward."""
+    L = len(coeffs)
+    shapes = [c.shape[1:] for c in coeffs]
+
+    def kernel(*refs):
+        cur = [0]
+
+        def take(k):
+            out = refs[cur[0]:cur[0] + k]
+            cur[0] += k
+            return out
+
+        z_in = take(L - 1)
+        (zc_ref,) = take(1)
+        r_refs = take(L - 1)  # r_0..r_{L-2}; coarsest needs no post-smooth
+        c_refs = take(L)
+        sid_refs = take(L)
+        R_refs = take(2 * (L - 1))
+        (z0_out,) = take(1)
+        z_scr = take(L - 2)           # scratch for intermediate levels
+        az_refs = take(L - 1)
+        z_refs = (z0_out,) + z_scr + (zc_ref,)
+
+        # copy the down-sweep partial solutions into working buffers
+        z0_out[...] = z_in[0][...]
+        for l in range(1, L - 1):
+            z_scr[l - 1][...] = z_in[l][...]
+
+        for l in range(L - 2, -1, -1):
+            R0 = R_refs[2 * l][...]
+            R1 = R_refs[2 * l + 1][...]
+            z_refs[l][...] += _mm(_mm(R0.T, z_refs[l + 1][...]), R1)
+            _smooth_inplace(z_refs[l], r_refs[l], c_refs[l], sid_refs[l],
+                            az_refs[l], level_weights[l], 2, nu_post, False)
+
+    n_in = (L - 1) + 1 + (L - 1) + L + L + 2 * (L - 1)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(shapes[0], jnp.float32),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * n_in,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        scratch_shapes=([pltpu.VMEM(shapes[l], jnp.float32)
+                         for l in range(1, L - 1)]
+                        + [pltpu.VMEM(shapes[l], jnp.float32)
+                           for l in range(L - 1)]),
+        interpret=interpret,
+    )(*zs, zc, *rs_all, *coeffs, *sids, *Rs)
+
+
+def fused_vcycle_2d(r, coeffs, sids, Rs, inv_c, level_weights,
+                    nu_pre, nu_post, interpret=False):
+    """One symmetric V-cycle as 2 Pallas kernels + 1 XLA dense matvec.
+
+    r: [n0, n1] residual. coeffs[l]: (9, *shape_l). sids[l]: tau_l·D_l⁻¹.
+    Rs: flat list of 2(L-1) per-axis restriction matrices
+    [R0_ax0, R0_ax1, R1_ax0, R1_ax1, ...], R of shape [n_{l+1,d}, n_{l,d}].
+    inv_c: dense inverse of the coarsest operator. level_weights[l]: Weights.
+    """
+    zs, rs = _vc_down_call(r, coeffs, sids, Rs, level_weights, nu_pre,
+                           interpret)
+    rc = rs[-1]
+    zc = jnp.dot(inv_c, rc.ravel(), preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST).reshape(rc.shape)
+    return _vc_up_call(zs, zc, (r,) + tuple(rs[:-1]), coeffs, sids, Rs,
+                       level_weights, nu_post, interpret)
