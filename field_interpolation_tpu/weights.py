@@ -64,8 +64,12 @@ class SolverConfig:
     mg_coarse_iters: int = 32  # used when mg_coarse_solver == "jacobi"
     mg_omega: float = 0.95     # Jacobi damping as a fraction of the stability
                                # limit: effective step τ = 2·mg_omega/ρ̂(D⁻¹A)
-    mg_min_size: int = 32      # stop coarsening when min(shape) <= this
-                               # (coarsest stays small enough to invert densely)
+    mg_min_size: int = 16      # stop coarsening when min(shape) <= this.
+                               # The dense coarsest inverse is PER-PROBLEM
+                               # setup cost: jnp.linalg.inv of 1024 nodes
+                               # (min_size 32 at 256²) costs ~2.8 ms on v5e —
+                               # more than the entire iteration phase — while
+                               # 256 nodes (min_size 16) is ~0.04 ms.
     # Recompute the true residual r = b - Ax every k iterations to cancel
     # fp32 recurrence drift. 0 (default) disables: on TPU the in-loop
     # lax.cond costs an extra operator apply EVERY iteration (~25% of solve
