@@ -156,6 +156,27 @@ def secondary_configs(log):
     log(f"[config 4] 3D 128³ SDF ({m} pts, MG): {t4:.0f} ms single-shot, "
         f"iters={int(info3.iterations)} conv={bool(info3.converged)}")
 
+    # Config 5 proxy: the multi-chip sharded configs need hardware this rig
+    # lacks (dryrun_multichip validates the sharded path on virtual devices);
+    # as a single-chip large-grid proxy, solve 4096² with the striped kernel.
+    grid5 = fi.Grid((4096, 4096))
+    n5 = 100_000
+    theta = rng.uniform(0, 2 * np.pi, n5)
+    nrm5 = np.stack([np.cos(theta), np.sin(theta)], -1).astype(np.float32)
+    pts5 = (2047.5 + 1433.6 * nrm5).astype(np.float32)
+    cfg5 = fi.SolverConfig(tol=1e-4, preconditioner="multigrid",
+                           backend="auto", maxiter=500)
+    for _ in range(2):
+        t0 = time.perf_counter()
+        p5 = fi.assemble_sdf(grid5, fi.Weights(model_2=0.3),
+                             jnp.asarray(pts5), jnp.asarray(nrm5))
+        x5, info5 = fi.solve(p5, cfg5)
+        float(jnp.sum(x5))
+        t5 = (time.perf_counter() - t0) * 1e3
+    log(f"[config 5 proxy] single-chip 4096² SDF ({n5} pts, striped Pallas + "
+        f"MG): {t5:.0f} ms assemble+solve, iters={int(info5.iterations)} "
+        f"rel={float(info5.rel_residual):.1e}")
+
 
 def main():
     import jax

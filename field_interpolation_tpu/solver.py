@@ -106,10 +106,14 @@ def pcg(
 
     done0 = dot(r, r) <= tol2
     x, r, _, _, k, done = lax.while_loop(cond, body, (x, r, p, rz, jnp.int32(0), done0))
-    # Exit diagnostics use a fresh true residual (honest reporting).
+    # Exit diagnostics use a fresh TRUE residual — both the reported value
+    # and the converged flag (the in-loop recurrence residual can drift below
+    # tol while the true residual sits slightly above it on large grids).
     r_true = b - apply_fn(x)
     rel = jnp.sqrt(dot(r_true, r_true) / jnp.maximum(b_norm2, jnp.finfo(b.dtype).tiny))
-    return x, SolveInfo(iterations=k, rel_residual=rel, converged=done)
+    # Tiny slack absorbs the fp32 rounding of this final check itself.
+    converged = rel <= tol * 1.05
+    return x, SolveInfo(iterations=k, rel_residual=rel, converged=converged)
 
 
 def _make_apply(problem: Problem, config: SolverConfig):
