@@ -106,3 +106,24 @@ def test_striped_pallas_kernel_matches_xla(rng, shape, D):
                                      interpret=True)
     want = p.apply(x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_fused_vcycle_solve_matches_xla(rng):
+    """solve(backend='pallas') with the whole-V-cycle kernels must converge
+    identically to the XLA path (interpret mode; also covers non-square
+    grids and the down/up kernel split)."""
+    from field_interpolation_tpu import sdf_from_points
+    theta = rng.uniform(0, 2 * np.pi, 80)
+    nrm = np.stack([np.cos(theta), np.sin(theta)], 1).astype(np.float32)
+    pts = (np.array([23.5, 31.5]) + 14 * nrm).astype(np.float32)
+    grid = Grid((48, 64))
+    w = Weights(model_2=0.3)
+    outs = {}
+    for bk in ("pallas", "xla"):
+        cfg = SolverConfig(tol=1e-4, preconditioner="multigrid", backend=bk)
+        x, info = sdf_from_points(grid, w, jnp.asarray(pts), jnp.asarray(nrm),
+                                  config=cfg)
+        assert bool(info.converged), bk
+        outs[bk] = np.asarray(x)
+    np.testing.assert_allclose(outs["pallas"], outs["xla"],
+                               atol=1e-3 * np.abs(outs["xla"]).max())
