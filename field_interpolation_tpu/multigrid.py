@@ -140,10 +140,12 @@ def build_levels(problem: Problem, config: SolverConfig) -> list[_Level]:
         import math
         if min(shape) > config.mg_min_size:
             return True
-        # With the dense coarsest solver, keep coarsening until the node
-        # count is invertible (matters in 3D: 32³ nodes is far too big).
+        # With the dense coarsest solver, keep coarsening until the inverse
+        # is cheap: jnp.linalg.inv is per-problem setup cost, and LU of 4096
+        # nodes (3D 16³) measures ~55 ms on v5e — more than the whole solve.
+        # 1024 nodes keeps 2D at 16² (256 nodes) and pushes 3D to 8³ (512).
         return (config.mg_coarse_solver == "dense"
-                and math.prod(shape) > 4096)
+                and math.prod(shape) > 1024)
 
     while needs_coarsening(shape):
         coarse = Grid(shape).coarsen()
