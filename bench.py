@@ -74,7 +74,9 @@ def roofline_metric(log):
                 return jax.lax.fori_loop(0, K, body, x)
             return run
 
-        Ks = (200, 1200) if fits_vmem(shape) else (100, 500)
+        # The K-difference must dwarf the ~±3 ms tunnel jitter: the 256²
+        # apply is ~4 us, so difference out 10k applies (~40 ms of work).
+        Ks = (1000, 11000) if fits_vmem(shape) else (100, 500)
         ts = {}
         for K in Ks:
             r = chain(K)
