@@ -14,10 +14,12 @@ from .operators import Problem, assemble
 from .solver import SolveInfo, pcg, solve, solve_refined
 from .diff import solve_implicit
 from .sdf import (
+    PreciseProblem,
     assemble_interpolation,
     assemble_precise,
     assemble_sdf,
     interpolate,
+    interpolate_precise,
     sdf_from_points,
     sdf_from_points_precise,
 )
@@ -43,4 +45,6 @@ __all__ = [
     "sdf_from_points",
     "sdf_from_points_precise",
     "interpolate",
+    "interpolate_precise",
+    "PreciseProblem",
 ]

@@ -9,12 +9,15 @@ PR3).
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
 
+from . import constraints as cons
+from . import stencils
 from .grid import Grid
 from .operators import Problem, assemble
 from .solver import SolveInfo, solve
@@ -51,12 +54,6 @@ def sdf_from_points(
     """
     problem = assemble_sdf(grid, weights, positions, normals, point_weights)
     return solve(problem, config, x0=x0)
-
-
-import dataclasses
-
-from . import constraints as cons
-from . import stencils
 
 
 @jax.tree_util.register_dataclass
@@ -188,3 +185,20 @@ def interpolate(
     """Interpolate scattered values onto the lattice. Returns (field, info)."""
     problem = assemble_interpolation(grid, weights, positions, values, point_weights)
     return solve(problem, config, x0=x0)
+
+
+def interpolate_precise(
+    grid: Grid,
+    weights: Weights,
+    positions: jax.Array,
+    values: jax.Array,
+    point_weights: Optional[jax.Array] = None,
+    config: SolverConfig = SolverConfig(),
+    x0: Optional[jax.Array] = None,
+) -> tuple[jax.Array, SolveInfo]:
+    """Value-only interpolation to a TRUE ≤tol relative residual (the
+    mixed-precision counterpart of `interpolate`)."""
+    from .solver import solve_refined
+    pp = assemble_precise(grid, weights, positions, values,
+                          point_weights=point_weights)
+    return solve_refined(pp, config, x0=x0)

@@ -174,3 +174,16 @@ def test_1d_end_to_end(rng):
     idx = np.clip(np.round(pos[:, 0]).astype(int), 0, 127)
     err = np.abs(np.asarray(field)[idx] - vals)
     assert np.median(err) < 0.2
+
+
+def test_interpolate_precise_hits_1e6(rng):
+    """Value-only mixed-precision driver reaches the true 1e-6 bar."""
+    from field_interpolation_tpu import interpolate_precise
+    grid = Grid((48, 48))
+    weights, pos, vals = _random_problem(rng, grid, n=80)
+    field, info = interpolate_precise(grid, weights, pos, vals,
+                                      config=SolverConfig(tol=1e-6,
+                                                          preconditioner="multigrid"))
+    assert bool(info.converged)
+    r = _rel_residual_f64(grid, weights, pos, vals, np.asarray(field, np.float64))
+    assert r < 1e-6, r
