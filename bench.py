@@ -193,7 +193,7 @@ def main():
     weights = fi.Weights(model_2=0.3, data_pos=1.0, data_gradient=1.0)
     cfg = fi.SolverConfig(tol=1e-6, preconditioner="multigrid", maxiter=2000)
 
-    K = 16
+    K = 48
     ptss = np.stack([make_circle_cloud(n_points, grid.shape, seed=s)[0]
                      for s in range(K)])
     nrms = np.stack([make_circle_cloud(n_points, grid.shape, seed=s)[1]
