@@ -96,3 +96,30 @@ def assemble(
     diag = (stencils.smoothness_diag(grid.shape, weights, dtype=coeff.dtype)
             + cons.data_diag(coeff, grid.ndim))
     return Problem(coeff=coeff, b=b, diag=diag, grid=grid, weights=weights)
+
+
+def validate_problem(problem: Problem) -> list[str]:
+    """Debug-mode sanity checks (SURVEY.md §5 'race detection / sanitizers'
+    row: the XLA analog of the reference's CHECK_F runtime assertions).
+    Returns a list of human-readable issues (empty = healthy). Host-side —
+    call outside jit, e.g. in tests or when a solve misbehaves."""
+    import numpy as np
+
+    issues = []
+    coeff = np.asarray(problem.coeff)
+    b = np.asarray(problem.b)
+    diag = np.asarray(problem.diag)
+    if not np.all(np.isfinite(coeff)):
+        issues.append("non-finite entries in the data coefficient tensor")
+    if not np.all(np.isfinite(b)):
+        issues.append("non-finite entries in b")
+    if np.any(diag < 0):
+        issues.append("negative operator diagonal (operator not SPD)")
+    if np.all(diag == 0):
+        issues.append("all-zero diagonal: no constraints at all?")
+    center = (3 ** problem.grid.ndim) // 2
+    if np.any(coeff[center] < -1e-6 * max(1.0, np.abs(coeff).max())):
+        issues.append("negative data-term diagonal entries (bad row weights?)")
+    if problem.weights.active_orders() == () and not np.any(coeff):
+        issues.append("no smoothness weights and no data: singular system")
+    return issues

@@ -127,3 +127,12 @@ def test_fused_vcycle_solve_matches_xla(rng):
         outs[bk] = np.asarray(x)
     np.testing.assert_allclose(outs["pallas"], outs["xla"],
                                atol=1e-3 * np.abs(outs["xla"]).max())
+
+
+def test_validate_problem(rng):
+    from field_interpolation_tpu.operators import validate_problem
+    w, p = _problem(rng, (16, 16), 2)
+    assert validate_problem(p) == []
+    import dataclasses
+    bad = dataclasses.replace(p, b=p.b.at[0, 0].set(np.nan))
+    assert any("non-finite" in m for m in validate_problem(bad))
