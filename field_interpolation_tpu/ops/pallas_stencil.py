@@ -465,3 +465,165 @@ def fused_vcycle_2d(r, coeffs, sids, Rs, inv_c, level_weights,
                  precision=jax.lax.Precision.HIGHEST).reshape(rc.shape)
     return _vc_up_call(zs, zc, (r,) + tuple(rs[:-1]), coeffs, sids, Rs,
                        level_weights, nu_post, interpret)
+
+
+# ---------------------------------------------------------------------------
+# Two-axis striped kernel (3D grids whose single-axis stripes exceed VMEM,
+# e.g. 256³ where even a 2-plane stripe of the 27-channel coeff is 33 MB).
+# Tiles over axes 0 and 1 with 3x3 clamped halo blocks (axis 0 is untiled in
+# 3D so its halo is the stencil radius; axis 1 is the sublane dim so its halo
+# stays 8-aligned); axis 2 (lanes) is kept whole. Same neutralization
+# argument as the single-axis kernel: out-of-domain halo garbage is killed by
+# the global valid-window masks and the zero data coefficients.
+# ---------------------------------------------------------------------------
+
+_H0_3D, _H1_3D = 4, 8
+
+
+def pick_stripe2_3d(shape: tuple[int, ...], itemsize: int = 4):
+    """(T0, T1) tile for the two-axis 3D kernel, or None."""
+    if len(shape) != 3:
+        return None
+    n2 = shape[2]
+    for T0 in (8, 4):
+        for T1 in (64, 32, 16, 8):
+            if shape[0] % T0 or shape[1] % T1 or T0 < _H0_3D or T1 < _H1_3D:
+                continue
+            est = (2 * 27 * T0 * T1 + 6 * (T0 + 2 * _H0_3D) * (T1 + 2 * _H1_3D)
+                   ) * n2 * itemsize
+            if est <= _VMEM_BUDGET_BYTES:
+                return (T0, T1)
+    return None
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("weights", "tiles", "interpret"))
+def fused_normal_apply_striped2_3d(x: jax.Array, coeff: jax.Array,
+                                   weights: Weights, tiles: tuple[int, int],
+                                   interpret: bool = False) -> jax.Array:
+    T0, T1 = tiles
+    h0, h1 = _H0_3D, _H1_3D
+    n0, n1, n2 = x.shape
+    g0, g1 = n0 // T0, n1 // T1
+    hb0, hb1 = T0 // h0, T1 // h1
+
+    def block(i, j):
+        return (i, j, 0)
+
+    def idx0(i, lo):  # clamped h0-block index along axis 0
+        return jnp.clip(i, 0, n0 // h0 - 1) if lo else i
+
+    # 9 input views of x: (rowkind, colkind) in {prev, cur, next}²
+    def spec(rowkind, colkind):
+        b0 = h0 if rowkind != "c" else T0
+        b1 = h1 if colkind != "c" else T1
+
+        def imap(i, j):
+            if rowkind == "c":
+                i0 = i
+            elif rowkind == "p":
+                i0 = jnp.maximum(i * hb0 - 1, 0)
+            else:
+                i0 = jnp.minimum(i * hb0 + hb0, g0 * hb0 - 1)
+            if colkind == "c":
+                j0 = j
+            elif colkind == "p":
+                j0 = jnp.maximum(j * hb1 - 1, 0)
+            else:
+                j0 = jnp.minimum(j * hb1 + hb1, g1 * hb1 - 1)
+            return (i0, j0, 0)
+
+        return pl.BlockSpec((b0, b1, n2), imap, memory_space=pltpu.VMEM)
+
+    kinds = [("p", "p"), ("p", "c"), ("p", "n"),
+             ("c", "p"), ("c", "c"), ("c", "n"),
+             ("n", "p"), ("n", "c"), ("n", "n")]
+
+    def kernel(*refs):
+        xb = refs[:9]
+        c_ref = refs[9]
+        o_ref = refs[10]
+        rows = []
+        for r in range(3):
+            rows.append(jnp.concatenate(
+                [xb[3 * r + 0][...], xb[3 * r + 1][...], xb[3 * r + 2][...]],
+                axis=1))
+        ext = jnp.concatenate(rows, axis=0)  # (T0+2h0, T1+2h1, n2)
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        base0 = i * T0
+        base1 = j * T1
+
+        if 0 in weights.active_orders():
+            o_ref[...] = (weights.model_0 ** 2) * xb[4][...]
+        else:
+            o_ref[...] = jnp.zeros(o_ref.shape, o_ref.dtype)
+
+        for order in weights.active_orders():
+            if order == 0:
+                continue
+            taps = stencils.STENCIL_TAPS[order]
+            L = len(taps)
+            w2 = weights.model_weight(order) ** 2
+
+            # striped axes 0 and 1: windows over ext with global masks
+            for ax, h, base, n_glob, T in ((0, h0, base0, n0, T0),
+                                           (1, h1, base1, n1, T1)):
+                if n_glob < L:
+                    continue
+                view = ext
+                # crop the OTHER striped axis's halo
+                other = 1 - ax
+                oh = h1 if other == 1 else h0
+                oT = T1 if other == 1 else T0
+                sl = [slice(None)] * 3
+                sl[other] = slice(oh, oh + oT)
+                view = view[tuple(sl)]
+                m = view.shape[ax] - L + 1
+                y = None
+                for k, s in enumerate(taps):
+                    sk = [slice(None)] * 3
+                    sk[ax] = slice(k, k + m)
+                    t = s * view[tuple(sk)]
+                    y = t if y is None else y + t
+                win_g = (base - h) + jax.lax.broadcasted_iota(
+                    jnp.int32, y.shape, ax)
+                y = jnp.where((win_g >= 0) & (win_g <= n_glob - L), y, 0.0)
+                for k, s in enumerate(taps):
+                    so = [slice(None)] * 3
+                    so[ax] = slice(h - k, h - k + T)
+                    o_ref[...] += (w2 * s) * y[tuple(so)]
+
+            # axis 2 (whole): standard slice-RMW on the center block
+            n = n2
+            if n >= L:
+                m = n - L + 1
+                y = None
+                for k, s in enumerate(taps):
+                    t = s * xb[4][:, :, k:k + m]
+                    y = t if y is None else y + t
+                for k, s in enumerate(taps):
+                    o_ref[:, :, k:k + m] += (w2 * s) * y
+
+        # data term
+        offsets = cons.offset_list(3)
+        for o_idx in range(offsets.shape[0]):
+            o0, o1, o2 = (int(v) for v in offsets[o_idx])
+            dst2 = slice(max(0, -o2), n2 - max(0, o2))
+            src2 = slice(max(0, o2), n2 - max(0, -o2))
+            dst = (slice(0, T0), slice(0, T1), dst2)
+            src = (slice(h0 + o0, h0 + o0 + T0),
+                   slice(h1 + o1, h1 + o1 + T1), src2)
+            o_ref[dst] += c_ref[(o_idx,) + dst] * ext[src]
+
+    return pl.pallas_call(
+        kernel,
+        grid=(g0, g1),
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        in_specs=[spec(rk, ck) for rk, ck in kinds]
+        + [pl.BlockSpec((27, T0, T1, n2), lambda i, j: (0, i, j, 0),
+                        memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((T0, T1, n2), lambda i, j: (i, j, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(*([x] * 9), coeff)

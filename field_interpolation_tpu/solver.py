@@ -127,7 +127,9 @@ def _make_apply(problem: Problem, config: SolverConfig):
     whole = ps.fits_vmem(problem.grid.shape)
     radius = max(max_stencil_radius(problem.weights), 1)
     stripe = None if whole else ps.pick_stripe(problem.grid.shape, radius)
-    if not whole and stripe is None:
+    tiles2 = (None if (whole or stripe is not None or problem.grid.ndim != 3)
+              else ps.pick_stripe2_3d(problem.grid.shape))
+    if not whole and stripe is None and tiles2 is None:
         return problem.apply
     platform = jax.devices()[0].platform
     on_tpu = platform in ("tpu", "axon")
@@ -144,8 +146,11 @@ def _make_apply(problem: Problem, config: SolverConfig):
         if whole:
             return ps.fused_normal_apply(x, c32, weights, nd,
                                          interpret=interpret)
-        return ps.fused_normal_apply_striped(x, c32, weights, nd, stripe,
-                                             interpret=interpret)
+        if stripe is not None:
+            return ps.fused_normal_apply_striped(x, c32, weights, nd, stripe,
+                                                 interpret=interpret)
+        return ps.fused_normal_apply_striped2_3d(x, c32, weights, tiles2,
+                                                 interpret=interpret)
 
     return apply_fn
 

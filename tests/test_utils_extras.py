@@ -136,3 +136,17 @@ def test_validate_problem(rng):
     import dataclasses
     bad = dataclasses.replace(p, b=p.b.at[0, 0].set(np.nan))
     assert any("non-finite" in m for m in validate_problem(bad))
+
+
+def test_two_axis_striped_3d_matches_xla(rng):
+    """The 2-axis striped 3D kernel (256³-class fallback) must equal the XLA
+    apply including tile seams in both axes (interpret mode)."""
+    from field_interpolation_tpu.ops.pallas_stencil import (
+        fused_normal_apply_striped2_3d)
+    shape = (16, 24, 20)
+    w, p = _problem(rng, shape, 3, weights=Weights(model_0=0.05, model_1=0.1,
+                                                   model_2=0.7))
+    x = jnp.asarray(rng.standard_normal(shape), jnp.float32)
+    got = fused_normal_apply_striped2_3d(x, p.coeff, w, (4, 8), interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(p.apply(x)),
+                               atol=1e-4)
