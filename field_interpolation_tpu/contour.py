@@ -153,16 +153,22 @@ def contour_polylines(segments: np.ndarray, tol: float = 1e-9) -> list[np.ndarra
         used[start] = True
         a, b = segs[start]
         chain = [a, b]
-        # extend forward
-        cur = b
-        while True:
-            nxt = [i for i in adj[cur] if not used[i]]
-            if not nxt:
-                break
-            i = nxt[0]
-            used[i] = True
-            p, q = segs[i]
-            cur = q if p == cur else p
-            chain.append(cur)
+
+        def extend(cur, append):
+            while True:
+                nxt = [i for i in adj[cur] if not used[i]]
+                if not nxt:
+                    return
+                i = nxt[0]
+                used[i] = True
+                p, q = segs[i]
+                cur = q if p == cur else p
+                append(cur)
+
+        extend(b, chain.append)
+        # An open contour whose seed segment sits mid-chain also needs the
+        # backward walk from the seed's FIRST endpoint (closed loops consume
+        # every segment in the forward walk, so this is a no-op for them).
+        extend(a, lambda p: chain.insert(0, p))
         lines.append(np.asarray(chain))
     return lines

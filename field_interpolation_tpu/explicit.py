@@ -210,8 +210,11 @@ def solve_sparse_linear_approximate_lattice(
     preconditioner, SURVEY.md §3.5)."""
     coarse = Grid(tuple(max(2, (n - 1) // downscale + 1) for n in grid.shape))
     scale = np.asarray([(cn - 1) / (fn - 1) for cn, fn in zip(coarse.shape, grid.shape)])
+    # Gradient targets are per-unit-length: coarse coord = fine coord × scale,
+    # so df/d(coarse) = df/d(fine) / scale per axis.
+    grad_c = None if gradients is None else np.asarray(gradients) / scale
     eq = assemble_explicit(coarse, weights, np.asarray(positions) * scale,
-                           values, gradients, point_weights)
+                           values, grad_c, point_weights)
     xc = solve_sparse_linear(coarse.num_nodes, eq).reshape(coarse.shape)
     return _multilinear_resize(xc, grid.shape).ravel()
 

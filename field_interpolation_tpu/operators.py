@@ -33,7 +33,7 @@ class Problem:
     """Assembled normal-equations problem ``A x = b`` (a pytree; ``grid`` and
     ``weights`` are static metadata so jit re-specializes per geometry)."""
 
-    coeff: jax.Array          # [*grid, 3^D] densified data-term stencil
+    coeff: jax.Array          # [3^D, *grid] densified data-term stencil
     b: jax.Array              # [*grid] Aᵀb
     diag: jax.Array           # [*grid] diag(A), for Jacobi/multigrid
     grid: Grid = dataclasses.field(metadata=dict(static=True))

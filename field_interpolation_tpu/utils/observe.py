@@ -71,15 +71,24 @@ def timed_block():
 def record_solve(grid: Grid, info, wall_ms: float, *,
                  preconditioner: str = "jacobi", solver: str = "pcg",
                  chip: str = "v5e", stream: Optional[TextIO] = None,
+                 applies_per_iteration: float = 1.0,
                  **extra) -> SolveRecord:
     """Build (and optionally emit as a JSON line) a SolveRecord from a
     SolveInfo + measured wall time; estimates achieved bandwidth from the
-    iteration count and the per-apply roofline bytes."""
+    iteration count and the per-apply roofline bytes.
+
+    The traffic model counts ``applies_per_iteration`` fine-grid operator
+    applies per CG iteration and NOTHING else. The default (1.0) is only
+    right for unpreconditioned/Jacobi CG; a multigrid V-cycle performs
+    several fine-level applies plus coarse-level work and transfers, so with
+    the default the estimate UNDERSTATES traffic (and hence achieved GB/s).
+    Pass e.g. ``applies_per_iteration=2 * (pre + post) + 2`` for a V-cycle,
+    or treat `achieved_gbps`/`roofline_frac` as lower bounds."""
     iters = int(info.iterations)
     gbps = None
     frac = None
     if wall_ms > 0 and iters > 0:
-        moved = roofline_bytes_per_apply(grid) * iters
+        moved = roofline_bytes_per_apply(grid) * iters * applies_per_iteration
         gbps = moved / (wall_ms * 1e-3) / 1e9
         peak = HBM_GBPS.get(chip)
         frac = gbps / peak if peak else None

@@ -53,6 +53,20 @@ def test_polyline_chaining():
     np.testing.assert_allclose(loop[0], loop[-1], atol=1e-6)
 
 
+def test_polyline_open_chain_mid_seed():
+    """An open contour whose seed segment sits mid-chain must come out as ONE
+    polyline (requires the backward walk from the seed's first endpoint)."""
+    # Straight open chain of 4 collinear segments: (0,0)-(1,0)-...-(4,0).
+    pts = [(float(i), 0.0) for i in range(5)]
+    segs = np.array([[pts[i], pts[i + 1]] for i in range(4)])
+    # Reorder so the first (seed) segment is the MIDDLE one.
+    segs = segs[[2, 0, 1, 3]]
+    lines = contour_polylines(segs)
+    assert len(lines) == 1
+    xs = sorted(p[0] for p in lines[0])
+    np.testing.assert_allclose(xs, [0, 1, 2, 3, 4])
+
+
 def test_marching_tetrahedra_sphere():
     n = 24
     g = np.arange(n)
