@@ -51,9 +51,46 @@ def sdf_from_points(
 
     Returns (field [*grid.shape], SolveInfo). Warm start via ``x0`` supports
     the reference's interactive re-solve loop (SURVEY.md §3.2).
+    ``config.debug=True`` runs the pipeline under checkify (NaN/bounds
+    checks surface as exceptions — see debugging.py).
     """
+    if config.debug:
+        return _debug_pipeline(grid, weights, positions, normals=normals,
+                               point_weights=point_weights, config=config,
+                               x0=x0, sdf=True)
     problem = assemble_sdf(grid, weights, positions, normals, point_weights)
     return solve(problem, config, x0=x0)
+
+
+def _debug_pipeline(grid, weights, positions, *, values=None, normals=None,
+                    point_weights, config, x0, sdf):
+    """Checkified assemble+solve + host-side problem audit (debugging.py)."""
+    import dataclasses
+
+    from . import debugging
+    from .operators import validate_problem
+    cfg = dataclasses.replace(config, debug=False, backend="xla")
+
+    def run(positions, normals, values, point_weights, x0):
+        debugging.check_sample_inputs(grid, positions, values=values,
+                                      gradients=normals,
+                                      point_weights=point_weights)
+        if sdf:
+            problem = assemble_sdf(grid, weights, positions, normals,
+                                   point_weights)
+        else:
+            problem = assemble_interpolation(grid, weights, positions,
+                                             values, point_weights)
+        x, info = solve(problem, cfg, x0=x0)
+        debugging.check_solution(x)
+        return problem, x, info
+
+    problem, x, info = debugging.checked_call(run, positions, normals,
+                                              values, point_weights, x0)
+    issues = validate_problem(problem)  # host-side audit (outside jit)
+    if issues:
+        raise ValueError("validate_problem: " + "; ".join(issues))
+    return x, info
 
 
 @jax.tree_util.register_dataclass
@@ -182,7 +219,12 @@ def interpolate(
     config: SolverConfig = SolverConfig(),
     x0: Optional[jax.Array] = None,
 ) -> tuple[jax.Array, SolveInfo]:
-    """Interpolate scattered values onto the lattice. Returns (field, info)."""
+    """Interpolate scattered values onto the lattice. Returns (field, info).
+    ``config.debug=True`` runs under checkify (see debugging.py)."""
+    if config.debug:
+        return _debug_pipeline(grid, weights, positions, values=values,
+                               point_weights=point_weights, config=config,
+                               x0=x0, sdf=False)
     problem = assemble_interpolation(grid, weights, positions, values, point_weights)
     return solve(problem, config, x0=x0)
 

@@ -56,9 +56,20 @@ def pcg(
     tol: float = 1e-6,
     maxiter: int = 2000,
     recompute_every: int = 50,
+    max_restarts: int = 8,
     dot_fn: Optional[Callable[[jax.Array, jax.Array], jax.Array]] = None,
 ) -> tuple[jax.Array, SolveInfo]:
     """Preconditioned CG on an SPD operator. Returns (x, SolveInfo).
+
+    The stopping rule is SAFEGUARDED: the fast in-loop check uses the cheap
+    recurrence residual, but every candidate exit is verified against a fresh
+    true residual ``b − Ax``; if fp32 recurrence drift left the true residual
+    above tol, CG restarts from the verified residual and keeps iterating
+    (at most ``max_restarts`` segments, sharing one global ``maxiter``
+    budget). The ``converged`` flag is therefore always backed by a true
+    residual at most ``tol``·‖b‖ — the honest exit the 4096²-class grids
+    need, at the cost of one extra operator apply per segment (the final
+    verification apply every exit already paid).
 
     ``dot_fn`` overrides the inner product — the sharded path passes a
     psum-reduced dot so each shard_map block sees globally consistent
@@ -70,25 +81,23 @@ def pcg(
     dot = _dot if dot_fn is None else dot_fn
     x = jnp.zeros_like(b) if x0 is None else x0
 
-    r = b - apply_fn(x)
-    z = precond_fn(r)
-    p = z
-    rz = dot(r, z)
     b_norm2 = dot(b, b)
     # Guard all-zero rhs: declare converged immediately with x = x0.
     tol2 = tol * tol * jnp.maximum(b_norm2, jnp.finfo(b.dtype).tiny)
 
-    def cond(state):
+    def inner_cond(state):
         _, r, _, _, k, done = state
         return jnp.logical_not(done) & (k < maxiter)
 
-    def body(state):
+    def inner_body(state):
         x, r, p, rz, k, _ = state
         Ap = apply_fn(p)
         pAp = dot(p, Ap)
         alpha = jnp.where(pAp > 0, rz / pAp, 0.0)
         x = x + alpha * p
-        # Periodic true-residual recomputation cancels fp32 drift.
+        # Optional periodic true-residual recomputation (off by default: on
+        # TPU the in-loop lax.cond pays for both branches every iteration;
+        # the restart safeguard below handles drift off the hot path).
         if recompute_every > 0:
             refresh = (k + 1) % recompute_every == 0
             r = lax.cond(refresh,
@@ -104,15 +113,29 @@ def pcg(
         done = dot(r, r) <= tol2
         return x, r, p, rz_new, k + 1, done
 
-    done0 = dot(r, r) <= tol2
-    x, r, _, _, k, done = lax.while_loop(cond, body, (x, r, p, rz, jnp.int32(0), done0))
-    # Exit diagnostics use a fresh TRUE residual — both the reported value
-    # and the converged flag (the in-loop recurrence residual can drift below
-    # tol while the true residual sits slightly above it on large grids).
-    r_true = b - apply_fn(x)
-    rel = jnp.sqrt(dot(r_true, r_true) / jnp.maximum(b_norm2, jnp.finfo(b.dtype).tiny))
-    # Tiny slack absorbs the fp32 rounding of this final check itself.
-    converged = rel <= tol * 1.05
+    def outer_cond(state):
+        _, r, k, segments, progressed = state
+        return ((dot(r, r) > tol2) & (k < maxiter)
+                & (segments < max_restarts) & progressed)
+
+    def outer_body(state):
+        x, r, k, segments, _ = state
+        # ``r`` is a verified true residual: start a CG segment from it.
+        z = precond_fn(r)
+        x, _, _, _, k_new, _ = lax.while_loop(
+            inner_cond, inner_body,
+            (x, r, z, dot(r, z), k, jnp.bool_(False)))
+        r = b - apply_fn(x)  # verify the recurrence exit
+        return x, r, k_new, segments + 1, k_new > k
+
+    r0 = b - apply_fn(x)
+    x, r, k, _, _ = lax.while_loop(
+        outer_cond, outer_body,
+        (x, r0, jnp.int32(0), jnp.int32(0), jnp.bool_(True)))
+    rr = dot(r, r)
+    rel = jnp.sqrt(rr / jnp.maximum(b_norm2, jnp.finfo(b.dtype).tiny))
+    # ``r`` is always a TRUE residual here, so the flag needs no slack.
+    converged = rr <= tol2
     return x, SolveInfo(iterations=k, rel_residual=rel, converged=converged)
 
 
@@ -193,6 +216,7 @@ def solve(
         tol=config.tol,
         maxiter=config.maxiter,
         recompute_every=config.recompute_every,
+        max_restarts=config.max_restarts,
     )
 
 
@@ -246,10 +270,14 @@ def _solve_refined_impl(p64, config: SolverConfig,
         rel = jnp.sqrt(_dot(r, r) / bnorm2)
         inner_tol = jnp.clip(0.5 * config.tol / rel, floor, 0.5
                              ).astype(jnp.float32)
+        # max_restarts=1: the f64 outer loop IS the verification layer here;
+        # fp32-verifying each inner exit would pay an apply for a residual
+        # the next f64 round recomputes anyway.
         d32, info = pcg(apply32, r.astype(jnp.float32),
                         precond_fn=precond, tol=inner_tol,
                         maxiter=config.maxiter,
-                        recompute_every=config.recompute_every)
+                        recompute_every=config.recompute_every,
+                        max_restarts=1)
         x = x + d32.astype(jnp.float64)
         r = b64 - apply64(x)
         return x, r, k + 1, iters + info.iterations

@@ -71,12 +71,26 @@ class SolverConfig:
                                # more than the entire iteration phase — while
                                # 256 nodes (min_size 16) is ~0.04 ms.
     # Recompute the true residual r = b - Ax every k iterations to cancel
-    # fp32 recurrence drift. 0 (default) disables: on TPU the in-loop
+    # fp32 recurrence drift IN-LOOP. 0 (default) disables: on TPU the in-loop
     # lax.cond costs an extra operator apply EVERY iteration (~25% of solve
-    # time), and the mixed-precision refined driver already recomputes true
+    # time), and the solver is already drift-safe without it — every
+    # candidate exit is verified against a fresh true residual and CG
+    # restarts if the verification fails (pcg's safeguarded stopping rule),
+    # and the mixed-precision refined driver additionally recomputes true
     # residuals in f64 between rounds (the honest "fp64-equivalent residual
-    # check", BASELINE.json:5). Enable for very long standalone fp32 solves.
+    # check", BASELINE.json:5).
     recompute_every: int = 0
+    # Max CG segments for the safeguarded stopping rule: each segment ends
+    # with a true-residual verification, and a failed verification starts a
+    # new segment from the verified residual (all segments share `maxiter`).
+    # 1 = trust the recurrence exit unverified beyond the final report.
+    max_restarts: int = 8
     # Max outer iterative-refinement rounds for solve_refined (each round is
     # one fp32 PCG solve + one f64 residual evaluation).
     refine_rounds: int = 6
+    # Debug mode (the reference's CHECK_F layer + NaN hunts, in-jit): run the
+    # driver under `checkify` with input sanity checks and automatic NaN/Inf
+    # detection, plus the host-side validate_problem audit. Forces the XLA
+    # backend (Pallas kernels can't carry checkify's error state) and costs
+    # ~2-5x — see field_interpolation_tpu.debugging.
+    debug: bool = False
