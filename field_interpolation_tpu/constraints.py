@@ -10,7 +10,8 @@ rows. Here the whole sample batch is processed at once (`BASELINE.json:5`
    row + D gradient rows) of shape `[n, R, 2^D]`.
 2. `densify_data_term` scatter-adds each sample's weighted `2^D × 2^D`
    normal-equation block into a dense spatially-varying 3^D-point stencil
-   `coeff[*grid, 3^D]` plus the RHS grid `Aᵀb`. This happens ONCE at assembly;
+   `coeff[3^D, *grid]` (channel-major; grid dims stay minor for TPU tiling)
+   plus the RHS grid `Aᵀb`. This happens ONCE at assembly;
    the CG hot loop then applies the data term as 3^D shifted multiply-adds
    with no scatter (SURVEY.md §7 "hard parts" #3 — the scatter-add problem is
    moved off the hot path entirely).
@@ -138,12 +139,19 @@ def densify_data_term(
     idx_cc = jnp.broadcast_to(corner_idx[:, :, None], (n, C, C))
     chan_cc = jnp.broadcast_to(chan[None, :, :], (n, C, C))
 
+    # ONE fused scatter for coeff and b: on the TPU backend a scatter costs
+    # ~0.5-1 ms FLAT regardless of payload (measured, NOTES_ROUND1.md), so
+    # two scatter ops would double the assembly's dominant cost. b rides
+    # along as channel 3^D of a (3^D + 1)-plane target.
     dtype = row_coeffs.dtype
-    coeff = jnp.zeros((3**D, grid.num_nodes), dtype=dtype)
-    coeff = coeff.at[chan_cc, idx_cc].add(M)
-    b = jnp.zeros((grid.num_nodes,), dtype=dtype)
-    b = b.at[corner_idx].add(bvec)
-    return coeff.reshape((3**D,) + grid.shape), b.reshape(grid.shape)
+    N = grid.num_nodes
+    flat_idx = jnp.concatenate(
+        [(chan_cc * N + idx_cc).reshape(-1), (3**D) * N + corner_idx.reshape(-1)])
+    updates = jnp.concatenate([M.reshape(-1), bvec.reshape(-1)])
+    out = jnp.zeros(((3**D + 1) * N,), dtype=dtype).at[flat_idx].add(updates)
+    coeff = out[:3**D * N].reshape((3**D,) + grid.shape)
+    b = out[3**D * N:].reshape(grid.shape)
+    return coeff, b
 
 
 def _shift(x: jax.Array, offset, ndim: int) -> jax.Array:

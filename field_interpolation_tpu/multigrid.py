@@ -57,7 +57,8 @@ def _resize_matrix(n_out: int, n_in: int, square: bool = False) -> np.ndarray:
     P = np.zeros((n_out, n_in))
     np.add.at(P, (np.arange(n_out), lo), w0)
     np.add.at(P, (np.arange(n_out), lo + 1), w1)
-    return P
+    P.setflags(write=False)  # lru_cached: a caller mutating the returned
+    return P                 # array must fail loudly, not poison the cache
 
 
 def _apply_axis_matrix(x: jax.Array, P: np.ndarray, axis: int) -> jax.Array:
@@ -166,6 +167,79 @@ def _rho_bound(row_abs: jax.Array, diag: jax.Array) -> jax.Array:
     return jnp.max(row_abs / safe)
 
 
+def _fused_vcycle_operands(problem, levels, taus, fine_inv_diag, inv_diags,
+                           coarse_dense):
+    """Materialize the per-level operands the fused 2D V-cycle/CG kernels
+    take: (coeffs [3^D,*shape_l], sids = τ_l·D_l⁻¹, Rs per-axis restriction
+    matrices, inv32 dense coarsest inverse, level Weights). None if the
+    working set exceeds the VMEM budget."""
+    ndim = problem.grid.ndim
+    center = (3 ** ndim) // 2
+    shapes_all = [problem.grid.shape] + [l.shape for l in levels]
+    coeffs = [problem.coeff.astype(jnp.float32)]
+    sids = [(taus[0] * fine_inv_diag).astype(jnp.float32)]
+    lw = [problem.weights]
+    for i, lvl in enumerate(levels):
+        coeffs.append(jnp.zeros((3 ** ndim,) + lvl.shape, jnp.float32
+                                ).at[center].set(lvl.data_diag))
+        sids.append((taus[i + 1] * inv_diags[i]).astype(jnp.float32))
+        lw.append(lvl.weights)
+    Rs = []
+    for i in range(len(shapes_all) - 1):
+        for d in range(ndim):
+            Rs.append(jnp.asarray(
+                _resize_matrix(shapes_all[i][d], shapes_all[i + 1][d]).T,
+                jnp.float32))
+    inv32 = coarse_dense.astype(jnp.float32)
+    vmem_est = (sum(c.size for c in coeffs) + inv32.size
+                + 3 * problem.grid.num_nodes) * 4
+    if vmem_est > 12 * 1024 * 1024:
+        return None
+    return coeffs, sids, Rs, inv32, lw
+
+
+def build_fused_solver_operands(problem: Problem, config: SolverConfig):
+    """Setup for the fully-fused 2D PCG path (solver._solve_fused_2d): the
+    same level operands as the fused V-cycle, or None when the problem shape
+    or config rules the fused path out."""
+    if (problem.grid.ndim != 2
+            or config.preconditioner != "multigrid"
+            or config.mg_coarse_solver != "dense"
+            or config.mg_pre_smooth != config.mg_post_smooth
+            or problem.diag.dtype != jnp.float32):
+        return None
+    from .ops.pallas_stencil import fits_vmem
+    if not fits_vmem(problem.grid.shape):
+        return None
+    levels = build_levels(problem, config)
+    if not levels:
+        return None
+    import math
+    if math.prod(levels[-1].shape) > 4096:
+        return None
+    if not all(fits_vmem(l.shape) for l in levels):
+        return None
+    fine_inv_diag = jnp.where(problem.diag > 0, 1.0 / problem.diag, 1.0)
+    inv_diags = [jnp.where(l.diag > 0, 1.0 / l.diag, 1.0) for l in levels]
+    ndim = problem.grid.ndim
+    fine_rowabs = (stencils.smoothness_row_abs_sum(
+        problem.grid.shape, problem.weights, problem.diag.dtype)
+        + jnp.sum(jnp.abs(problem.coeff), axis=-(ndim + 1)))
+    taus = [2.0 * config.mg_omega / _rho_bound(fine_rowabs, problem.diag)]
+    for lvl in levels:
+        rowabs = (stencils.smoothness_row_abs_sum(lvl.shape, lvl.weights,
+                                                  lvl.diag.dtype) + lvl.data_diag)
+        taus.append(2.0 * config.mg_omega / _rho_bound(rowabs, lvl.diag))
+    n_c = math.prod(levels[-1].shape)
+    eye = jnp.eye(n_c, dtype=levels[-1].diag.dtype
+                  ).reshape((n_c,) + levels[-1].shape)
+    A_c = jax.vmap(levels[-1].apply)(eye).reshape(n_c, n_c).T
+    inv = jnp.linalg.inv(A_c)
+    coarse_dense = 0.5 * (inv + inv.T)
+    return _fused_vcycle_operands(problem, levels, taus, fine_inv_diag,
+                                  inv_diags, coarse_dense)
+
+
 def make_vcycle_preconditioner(problem: Problem, config: SolverConfig,
                                apply_fn=None, pallas_smooth=False,
                                pallas_interpret=False):
@@ -252,27 +326,11 @@ def make_vcycle_preconditioner(problem: Problem, config: SolverConfig,
     if (pallas_smooth and ndim == 2 and coarse_dense is not None
             and smoothers is not None and all(s is not None for s in smoothers)
             and config.mg_pre_smooth == config.mg_post_smooth):
-        from .ops.pallas_stencil import fused_vcycle_2d
-        center = (3 ** ndim) // 2
-        shapes_all = [problem.grid.shape] + [l.shape for l in levels]
-        coeffs = [problem.coeff.astype(jnp.float32)]
-        sids = [(taus[0] * fine_inv_diag).astype(jnp.float32)]
-        lw = [problem.weights]
-        for i, lvl in enumerate(levels):
-            coeffs.append(jnp.zeros((3 ** ndim,) + lvl.shape, jnp.float32
-                                    ).at[center].set(lvl.data_diag))
-            sids.append((taus[i + 1] * inv_diags[i]).astype(jnp.float32))
-            lw.append(lvl.weights)
-        Rs = []
-        for i in range(len(shapes_all) - 1):
-            for d in range(2):
-                Rs.append(jnp.asarray(
-                    _resize_matrix(shapes_all[i][d], shapes_all[i + 1][d]).T,
-                    jnp.float32))
-        inv32 = coarse_dense.astype(jnp.float32)
-        vmem_est = (sum(c.size for c in coeffs) + inv32.size
-                    + 3 * problem.grid.num_nodes) * 4
-        if vmem_est <= 12 * 1024 * 1024:
+        ops = _fused_vcycle_operands(problem, levels, taus, fine_inv_diag,
+                                     inv_diags, coarse_dense)
+        if ops is not None:
+            from .ops.pallas_stencil import fused_vcycle_2d
+            coeffs, sids, Rs, inv32, lw = ops
             return lambda r: fused_vcycle_2d(
                 r, coeffs, sids, Rs, inv32, lw, config.mg_pre_smooth,
                 config.mg_post_smooth, interpret=pallas_interpret)

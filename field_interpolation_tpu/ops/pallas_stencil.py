@@ -54,6 +54,8 @@ _VMEM_BUDGET_BYTES = 8 * 1024 * 1024
 
 def fits_vmem(shape: tuple[int, ...], itemsize: int = 4) -> bool:
     import math
+    if len(shape) < 2:
+        return False  # rank-1 kernels are untested on hardware; XLA handles 1D
     n = math.prod(shape)
     channels = 3 ** len(shape)
     return _HAVE_PALLAS and (n * (channels + 2) * itemsize <= _VMEM_BUDGET_BYTES)
@@ -155,6 +157,8 @@ def pick_stripe(shape: tuple[int, ...], radius: int = 3,
     The estimate doubles the coeff block (Mosaic double-buffers grid inputs —
     a 204 KB overshoot at 3D 128³/T=4 was measured without this)."""
     import math
+    if len(shape) < 2:
+        return None  # see fits_vmem: no rank-1 Pallas path
     rest = math.prod(shape[1:])
     channels = 3 ** len(shape)
     h = _halo(len(shape), radius)
@@ -279,6 +283,122 @@ def fused_normal_apply_striped(x: jax.Array, coeff: jax.Array,
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(x, x, x, coeff)
+
+
+# ---------------------------------------------------------------------------
+# Halo-extended variant for the SHARDED apply (parallel/sharded.py): inside
+# shard_map each device holds its local block extended by `radius` on every
+# axis with ppermute-exchanged neighbor data (zeros at global edges). This
+# kernel runs the same fused apply on that extended block, with the
+# smoothness valid-window masks evaluated in GLOBAL coordinates — the block's
+# global origin arrives as a traced SMEM scalar vector, because inside
+# shard_map it comes from lax.axis_index. Reuses the striped kernel's window
+# algebra: output row t accumulates only windows y[t + r − k], so halo rows
+# beyond the operator radius are never read and the global mask kills windows
+# crossing the domain boundary (SURVEY.md §7 hard-part #5, first half).
+# ---------------------------------------------------------------------------
+
+
+def ext_fits_vmem(local_shape: tuple[int, ...], radius: int,
+                  itemsize: int = 4) -> bool:
+    """Whole-extended-block VMEM check for the sharded fused apply."""
+    import math
+    if len(local_shape) < 2:
+        return False
+    ext = math.prod(n + 2 * radius for n in local_shape)
+    n = math.prod(local_shape)
+    channels = 3 ** len(local_shape)
+    return _HAVE_PALLAS and ((ext + (channels + 1) * n) * itemsize
+                             <= _VMEM_BUDGET_BYTES)
+
+
+@functools.partial(jax.jit, static_argnames=("weights", "ndim", "radius",
+                                             "grid_shape", "interpret"))
+def fused_normal_apply_ext(x_ext: jax.Array, coeff: jax.Array,
+                           global_start: jax.Array, weights: Weights,
+                           ndim: int, radius: int,
+                           grid_shape: tuple[int, ...],
+                           interpret: bool = False) -> jax.Array:
+    """Fused (S + DᵀWD) apply on a halo-extended local block.
+
+    x_ext: local block extended by ``radius`` on every axis (neighbor data /
+    zeros). coeff: [3^D, *local] local data-term block (zero wherever a pair
+    leaves the GLOBAL grid, so no data mask is needed). global_start: int32
+    [ndim] global coordinate of the local block's first node. grid_shape:
+    the GLOBAL grid shape (for the dropped-row window masks).
+    """
+    local_shape = tuple(n - 2 * radius for n in x_ext.shape)
+    r = radius
+
+    def kernel(gs_ref, x_ref, c_ref, o_ref):
+        full = tuple(slice(None) for _ in range(ndim))
+        center = tuple(slice(r, r + n) for n in local_shape)
+
+        if 0 in weights.active_orders():
+            o_ref[...] = (weights.model_0 ** 2) * x_ref[center]
+        else:
+            o_ref[...] = jnp.zeros(local_shape, x_ref.dtype)
+
+        for order in weights.active_orders():
+            if order == 0:
+                continue
+            taps = stencils.STENCIL_TAPS[order]
+            L = len(taps)
+            w2 = weights.model_weight(order) ** 2
+            for ax in range(ndim):
+                n_loc = local_shape[ax]
+                n_glob = grid_shape[ax]
+                if n_glob < L:
+                    continue
+                # View: extended along ax, cropped to the block elsewhere.
+                view_sl = list(center)
+                view_sl[ax] = slice(None)
+                view = x_ref[tuple(view_sl)]
+                m = view.shape[ax] - L + 1
+                y = None
+                for k, s in enumerate(taps):
+                    sk = [slice(None)] * ndim
+                    sk[ax] = slice(k, k + m)
+                    t = s * view[tuple(sk)]
+                    y = t if y is None else y + t
+                # Window j starts at global coordinate gs[ax] - r + j.
+                win_g = (gs_ref[ax] - r) + jax.lax.broadcasted_iota(
+                    jnp.int32, y.shape, ax)
+                y = jnp.where((win_g >= 0) & (win_g <= n_glob - L), y, 0.0)
+                for k, s in enumerate(taps):
+                    so = [slice(None)] * ndim
+                    so[ax] = slice(r - k, r - k + n_loc)
+                    o_ref[full] += (w2 * s) * y[tuple(so)]
+
+        offsets = cons.offset_list(ndim)
+        for o_idx in range(offsets.shape[0]):
+            off = offsets[o_idx]
+            src = tuple(slice(r + int(off[d]), r + int(off[d]) + local_shape[d])
+                        for d in range(ndim))
+            o_ref[full] += c_ref[(o_idx,) + full] * x_ref[src]
+
+    # Inside shard_map, pallas_call must declare which mesh axes the output
+    # varies over (check_vma): it varies exactly like the input block.
+    try:
+        vma = jax.typeof(x_ext).vma
+    except Exception:  # outside shard_map / older tracer
+        vma = None
+    if vma is not None:
+        out_shape = jax.ShapeDtypeStruct(local_shape, x_ext.dtype, vma=vma)
+    else:
+        out_shape = jax.ShapeDtypeStruct(local_shape, x_ext.dtype)
+
+    return pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(global_start.astype(jnp.int32), x_ext, coeff)
 
 
 # ---------------------------------------------------------------------------

@@ -107,9 +107,16 @@ def _sharded_axis_normal_apply(x_ext: jax.Array, order: int, axis: int,
 
 
 def make_sharded_apply(grid_shape: tuple[int, ...], weights, mesh: Mesh,
-                       coeff: jax.Array):
+                       coeff: jax.Array, backend: str = "xla"):
     """Local-block operator apply with halo exchange, for use inside
-    shard_map. ``coeff`` is the local data-term block."""
+    shard_map. ``coeff`` is the local data-term block.
+
+    ``backend`` mirrors SolverConfig.backend: "auto" runs the fused Pallas
+    kernel on the halo-extended block when on TPU and the extended block
+    fits VMEM (ops.pallas_stencil.fused_normal_apply_ext — one kernel pass
+    instead of ~a dozen XLA HBM round trips per iteration); "pallas" forces
+    it (interpret mode off-TPU: tests); "xla" always uses the shift path.
+    The halo exchange itself is always XLA ppermute."""
     ndim = len(grid_shape)
     axis_names = mesh.axis_names[:ndim]
     shards = tuple(mesh.shape[a] for a in axis_names) + (1,) * (ndim - len(axis_names))
@@ -118,14 +125,49 @@ def make_sharded_apply(grid_shape: tuple[int, ...], weights, mesh: Mesh,
     smooth_orders = [k for k in weights.active_orders() if k > 0]
     w0_2 = weights.model_0 ** 2 if 0 in weights.active_orders() else 0.0
 
+    use_pallas = False
+    pallas_interpret = False
+    if backend != "xla":
+        from ..ops import pallas_stencil as ps
+        local_shape = tuple(grid_shape[d] // shards[d] for d in range(ndim))
+        if ps.ext_fits_vmem(local_shape, radius):
+            platform = jax.devices()[0].platform
+            on_tpu = platform in ("tpu", "axon")
+            use_pallas = on_tpu or backend == "pallas"
+            pallas_interpret = not on_tpu
+
+    def _global_start_vec(x_loc):
+        gs = []
+        for d in range(ndim):
+            if d < len(axis_names) and shards[d] > 1:
+                gs.append(lax.axis_index(axis_names[d]) * x_loc.shape[d])
+            else:
+                gs.append(jnp.int32(0))
+        return jnp.stack(gs)
+
     def apply_fn(x_loc: jax.Array) -> jax.Array:
+        if use_pallas and x_loc.dtype == jnp.float32:
+            from ..ops.pallas_stencil import fused_normal_apply_ext
+            x_ext = x_loc
+            for d in range(ndim):
+                x_ext = _halo_exchange(x_ext, d, radius,
+                                       axis_names[d] if d < len(axis_names)
+                                       else None, shards[d])
+            return fused_normal_apply_ext(
+                x_ext, coeff.astype(jnp.float32), _global_start_vec(x_loc),
+                weights, ndim, radius, grid_shape,
+                interpret=pallas_interpret)
+        return _xla_apply(x_loc)
+
+    def _xla_apply(x_loc: jax.Array) -> jax.Array:
         # Sequential per-axis exchange fills corner halos transitively.
         x_ext = x_loc
         for d in range(ndim):
-            if shards[d] > 1 or True:  # same code covers the 1-shard case
-                x_ext = _halo_exchange(x_ext, d, radius,
-                                       axis_names[d] if d < len(axis_names) else None,
-                                       shards[d])
+            # Always extend (1-shard axes get zero halos — the same zero-pad
+            # the unsharded operator uses), so the body below is uniform.
+            x_ext = _halo_exchange(x_ext, d, radius,
+                                   axis_names[d] if d < len(axis_names) else None,
+                                   shards[d])
         # x_ext now extended by `radius` along every grid axis.
         out = jnp.zeros_like(x_loc)
         if w0_2:
@@ -241,10 +283,13 @@ def _coarse_fn(r_loc, inv, R_mats, cshape, mesh: Mesh):
 
     def local_R(d, n_loc):
         if d < len(axis_names) and shards[d] > 1:
-            start = lax.axis_index(axis_names[d]) * n_loc
+            start = lax.axis_index(axis_names[d]).astype(jnp.int32) * n_loc
         else:
             start = 0
-        return lax.dynamic_slice(R_mats[d], (0, start), (cshape[d], n_loc))
+        # Both indices int32 (under enable_x64 a Python 0 would weak-type to
+        # int64 and dynamic_slice rejects mixed index widths).
+        return lax.dynamic_slice(R_mats[d], (jnp.int32(0), jnp.int32(start)),
+                                 (cshape[d], n_loc))
 
     rc = r_loc
     for d in range(nd):
@@ -263,6 +308,24 @@ def _coarse_fn(r_loc, inv, R_mats, cshape, mesh: Mesh):
             jnp.tensordot(R_loc.T, z, axes=[[1], [d]],
                           precision=jax.lax.Precision.HIGHEST), 0, d)
     return z
+
+
+def _make_local_precond(config: SolverConfig, weights, coeff_l, b_l, diag_l,
+                        inv_c, R_mats, cshape, mesh: Mesh):
+    """Per-shard preconditioner used inside shard_map bodies: Jacobi on the
+    local diag, or the two-level additive Schwarz (block V-cycle + psum'd
+    global coarse correction) — see solve_sharded's docstring."""
+    if config.preconditioner == "jacobi":
+        inv_diag = jnp.where(diag_l > 0, 1.0 / diag_l, 1.0)
+        return lambda r: inv_diag * r
+    if config.preconditioner == "multigrid":
+        from ..multigrid import make_vcycle_preconditioner
+        local_problem = Problem(coeff=coeff_l, b=b_l, diag=diag_l,
+                                grid=Grid(b_l.shape), weights=weights)
+        block_v = make_vcycle_preconditioner(local_problem, config)
+        return lambda r: block_v(r) + _coarse_fn(r, inv_c, R_mats, cshape,
+                                                 mesh)
+    return None
 
 
 def solve_sharded(
@@ -320,27 +383,138 @@ def solve_sharded(
         jax.shard_map, mesh=mesh,
         in_specs=(spec_c, spec_g, spec_g, spec_g, rep, tuple([rep] * nd)),
         out_specs=(spec_g, P()),
+        # check_vma=False: interpret-mode pallas_call inside shard_map trips
+        # the vma checker on kernel constants (JAX suggests this workaround);
+        # on-TPU kernels declare their vma via out_shape and are unaffected.
+        check_vma=False,
     )
     def body(coeff_l, b_l, diag_l, x0_l, inv_c, R_mats):
-        apply_fn = make_sharded_apply(grid.shape, problem.weights, mesh, coeff_l)
-        precond = None
-        if config.preconditioner == "jacobi":
-            inv_diag = jnp.where(diag_l > 0, 1.0 / diag_l, 1.0)
-            precond = lambda r: inv_diag * r
-        elif use_mg:
-            from ..multigrid import make_vcycle_preconditioner
-            local_grid = Grid(b_l.shape)
-            local_problem = Problem(coeff=coeff_l, b=b_l, diag=diag_l,
-                                    grid=local_grid, weights=problem.weights)
-            block_v = make_vcycle_preconditioner(local_problem, config)
-            precond = lambda r: block_v(r) + _coarse_fn(r, inv_c, R_mats,
-                                                       cshape, mesh)
+        apply_fn = make_sharded_apply(grid.shape, problem.weights, mesh,
+                                      coeff_l, backend=config.backend)
+        precond = _make_local_precond(config, problem.weights, coeff_l, b_l,
+                                      diag_l, inv_c, R_mats, cshape, mesh)
         x, info = pcg(apply_fn, b_l, x0_l, precond,
                       tol=config.tol, maxiter=config.maxiter,
-                      recompute_every=config.recompute_every, dot_fn=pdot)
+                      recompute_every=config.recompute_every,
+                      max_restarts=config.max_restarts, dot_fn=pdot)
         return x, info
 
     if x0 is None:
         x0 = jnp.zeros_like(problem.b)
     return jax.jit(body)(problem.coeff, problem.b, problem.diag, x0,
                          inv_c, tuple(R_mats))
+
+
+def solve_refined_sharded(
+    problem64: Problem,
+    mesh: Mesh,
+    config: SolverConfig = SolverConfig(),
+    x0: Optional[jax.Array] = None,
+) -> tuple[jax.Array, SolveInfo]:
+    """Sharded mixed-precision solve to a TRUE ≤`tol` relative residual
+    (VERDICT r1 item 3 — the honest-1e-6 bar extended to the sharded domain,
+    `BASELINE.json:5` + SURVEY.md §5 long-context row).
+
+    Structure mirrors solver.solve_refined, but the WHOLE refinement loop
+    runs inside one shard_map: fp32 sharded-PCG inner solves (halo exchange
+    + psum dots, same machinery as solve_sharded) wrapped in a float64 outer
+    loop whose residual/accumulation use the float64-assembled local blocks
+    and psum'd f64 inner products.
+
+    ``problem64`` is a Problem whose leaves were assembled in float64 (e.g.
+    `operators.assemble` on f64 inputs under ``jax.enable_x64()``); grid dim
+    d is sharded over mesh axis d as in solve_sharded.
+    """
+    if config.preconditioner not in ("none", "jacobi", "multigrid"):
+        raise ValueError("sharded solve supports 'none', 'jacobi' or "
+                         f"'multigrid' preconditioning, got "
+                         f"{config.preconditioner!r}")
+    grid = problem64.grid
+    nd = grid.ndim
+    axis_names = mesh.axis_names[:nd]
+    for d, name in enumerate(axis_names):
+        if grid.shape[d] % mesh.shape[name] != 0:
+            raise ValueError(
+                f"grid dim {d} ({grid.shape[d]}) not divisible by mesh axis "
+                f"{name!r} ({mesh.shape[name]})")
+
+    with jax.enable_x64():
+        import dataclasses
+
+        p32 = dataclasses.replace(
+            problem64,
+            coeff=problem64.coeff.astype(jnp.float32),
+            b=problem64.b.astype(jnp.float32),
+            diag=problem64.diag.astype(jnp.float32))
+
+        spec_g = _grid_partition_spec(mesh, nd)
+        spec_c = _grid_partition_spec(mesh, nd, lead_dims=1)
+        all_names = tuple(axis_names)
+
+        def pdot(a, b):
+            return lax.psum(jnp.sum(a * b), all_names)
+
+        if config.preconditioner == "multigrid":
+            inv_c, R_mats, cshape = _make_coarse_correction(p32, mesh)
+        else:
+            inv_c = jnp.zeros((1, 1), jnp.float32)
+            R_mats = [jnp.zeros((1, 1), jnp.float32)] * nd
+            cshape = (1,) * nd
+
+        rep = P()
+        weights = problem64.weights
+        # fp32 inner solves stagnate around ~1e-4 relative (rounding floor).
+        floor = max(config.tol, 1e-4)
+
+        @functools.partial(
+            jax.shard_map, mesh=mesh,
+            in_specs=(spec_c, spec_g, spec_c, spec_g, spec_g, rep,
+                      tuple([rep] * nd)),
+            out_specs=(spec_g, P()),
+            check_vma=False,  # see solve_sharded
+        )
+        def body(coeff64_l, b64_l, coeff32_l, diag32_l, x0_l, inv_c, R_mats):
+            apply64 = make_sharded_apply(grid.shape, weights, mesh, coeff64_l)
+            apply32 = make_sharded_apply(grid.shape, weights, mesh, coeff32_l,
+                                         backend=config.backend)
+            b32_l = b64_l.astype(jnp.float32)
+            precond = _make_local_precond(config, weights, coeff32_l, b32_l,
+                                          diag32_l, inv_c, R_mats, cshape,
+                                          mesh)
+            bnorm2 = jnp.maximum(pdot(b64_l, b64_l),
+                                 jnp.finfo(jnp.float64).tiny)
+            tol2 = config.tol * config.tol * bnorm2
+
+            x = x0_l.astype(jnp.float64)
+            r = b64_l - apply64(x)
+
+            def cond(state):
+                _, r, k, iters = state
+                return (pdot(r, r) > tol2) & (k < config.refine_rounds)
+
+            def refine_body(state):
+                x, r, k, iters = state
+                rel = jnp.sqrt(pdot(r, r) / bnorm2)
+                inner_tol = jnp.clip(0.5 * config.tol / rel, floor, 0.5
+                                     ).astype(jnp.float32)
+                d32, info = pcg(apply32, r.astype(jnp.float32),
+                                precond_fn=precond, tol=inner_tol,
+                                maxiter=config.maxiter,
+                                recompute_every=config.recompute_every,
+                                max_restarts=1, dot_fn=pdot)
+                x = x + d32.astype(jnp.float64)
+                r = b64_l - apply64(x)
+                return x, r, k + 1, iters + info.iterations
+
+            x, r, k, iters = lax.while_loop(
+                cond, refine_body, (x, r, jnp.int32(0), jnp.int32(0)))
+            rel = jnp.sqrt(pdot(r, r) / bnorm2)
+            info = SolveInfo(iterations=iters,
+                             rel_residual=rel.astype(jnp.float32),
+                             converged=rel <= config.tol)
+            return x, info
+
+        if x0 is None:
+            x0 = jnp.zeros_like(problem64.b)
+        return jax.jit(body)(problem64.coeff, problem64.b, p32.coeff,
+                             p32.diag, x0, inv_c, tuple(R_mats))

@@ -115,6 +115,90 @@ def test_sharded_apply_matches_exactly(rng):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
 
 
+@pytest.mark.parametrize("mesh_shape,names", [((2, 4), ("x", "y")),
+                                              ((8,), ("x",))])
+def test_sharded_pallas_apply_matches_exactly(rng, mesh_shape, names):
+    """VERDICT r1 item 4: the fused Pallas kernel on the halo-extended block
+    (backend='pallas', interpret mode on the CPU mesh) must match the
+    unsharded apply as exactly as the XLA shift path does."""
+    from functools import partial
+    from field_interpolation_tpu.parallel.sharded import (
+        _grid_partition_spec, make_sharded_apply)
+
+    grid = Grid((24, 40))
+    weights = Weights(model_1=0.2, model_2=1.0, model_3=0.3)  # radius 3
+    problem = _problem_2d(rng, grid, weights, n=60)
+    x = jnp.asarray(rng.standard_normal(grid.shape), jnp.float32)
+    want = problem.apply(x)
+
+    mesh = _mesh(mesh_shape, names)
+    spec_g = _grid_partition_spec(mesh, 2)
+    spec_c = _grid_partition_spec(mesh, 2, lead_dims=1)
+
+    @partial(jax.shard_map, mesh=mesh, in_specs=(spec_c, spec_g),
+             out_specs=spec_g, check_vma=False)  # interpret-mode pallas
+    def apply_sharded(coeff_l, x_l):
+        return make_sharded_apply(grid.shape, weights, mesh, coeff_l,
+                                  backend="pallas")(x_l)
+
+    got = apply_sharded(problem.coeff, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
+
+
+def test_sharded_solve_pallas_backend_equals_xla(rng):
+    """Full sharded PCG with the Pallas ext-kernel apply (interpret mode)
+    converges to the same field as the XLA path."""
+    grid = Grid((32, 32))
+    weights = Weights(model_2=0.5)
+    problem = _problem_2d(rng, grid, weights, n=50)
+    mesh = _mesh((2, 2), ("x", "y"))
+    sp = shard_problem(problem, mesh)
+    cfg_x = SolverConfig(tol=1e-4, preconditioner="jacobi", maxiter=4000,
+                         backend="xla")
+    cfg_p = SolverConfig(tol=1e-4, preconditioner="jacobi", maxiter=4000,
+                         backend="pallas")
+    x_x, _ = solve_sharded(sp, mesh, cfg_x)
+    x_p, info_p = solve_sharded(sp, mesh, cfg_p)
+    assert bool(info_p.converged)
+    scale = np.abs(np.asarray(x_x)).max()
+    np.testing.assert_allclose(np.asarray(x_p), np.asarray(x_x),
+                               atol=2e-3 * scale)
+
+
+@pytest.mark.parametrize("precond", ["jacobi", "multigrid"])
+def test_sharded_refined_true_1e6(rng, precond):
+    """VERDICT r1 item 3: the sharded mixed-precision refined solve reaches a
+    TRUE 1e-6 relative residual, verified against the float64 oracle system
+    (scipy), on an 8-virtual-device mesh."""
+    from field_interpolation_tpu.explicit import assemble_explicit, normal_equations
+    from field_interpolation_tpu.parallel import solve_refined_sharded
+
+    grid = Grid((32, 64))
+    weights = Weights(model_2=0.3)
+    n = 80
+    pos = rng.uniform(0, np.asarray(grid.shape) - 1, size=(n, 2))
+    vals = rng.standard_normal(n)
+    grads = rng.standard_normal((n, 2))
+
+    with jax.enable_x64():
+        p64 = assemble(grid, weights, jnp.asarray(pos, jnp.float64),
+                       jnp.asarray(vals, jnp.float64),
+                       gradients=jnp.asarray(grads, jnp.float64))
+        mesh = _mesh((2, 4), ("x", "y"))
+        cfg = SolverConfig(tol=1e-6, preconditioner=precond, maxiter=20000)
+        x, info = solve_refined_sharded(shard_problem(p64, mesh), mesh, cfg)
+
+    assert bool(info.converged), float(info.rel_residual)
+    assert float(info.rel_residual) <= 1e-6
+
+    # Independent f64 verification vs the explicitly assembled oracle.
+    eq = assemble_explicit(grid, weights, pos, vals, grads)
+    AtA, Atb = normal_equations(eq, grid.num_nodes)
+    r = Atb - AtA @ np.asarray(x, np.float64).ravel()
+    rel = np.linalg.norm(r) / np.linalg.norm(Atb)
+    assert rel <= 1.1e-6, rel
+
+
 def test_sharded_rejects_indivisible(rng):
     grid = Grid((30, 32))
     problem = _problem_2d(rng, grid, Weights(model_2=1.0), n=10)
