@@ -588,6 +588,172 @@ def fused_vcycle_2d(r, coeffs, sids, Rs, inv_c, level_weights,
 
 
 # ---------------------------------------------------------------------------
+# Fully-fused PCG iteration (2D, VMEM-fit, dense-coarsest multigrid): ONE
+# iteration = 2 Pallas kernels + 1 small XLA matvec, vs ~15 separate XLA ops
+# + 3 kernels for the generic pcg loop. The CG vector algebra (Ap, dots,
+# axpys) is folded into the V-cycle's down/up kernels so x/r/p/z never leave
+# VMEM between ops (VERDICT r1 item 6; SURVEY.md §7 architecture paragraph).
+#
+# Down kernel: Ap = A p; α = rz/⟨p,Ap⟩; x += α p; r −= α Ap; rr = ⟨r,r⟩;
+#              then pre-smooth + residual-restrict every level on the NEW r.
+# (XLA)      : z_c = A_c⁻¹ r_c — Mosaic can't reshape (n,n)→(n²,1) in-kernel.
+# Up kernel  : prolong-add + post-smooth up to the fine z, then
+#              rz' = ⟨r,z⟩; β = rz'/rz; p = z + β p.
+# Scalars (rz, rr) ride in SMEM as (1,1) arrays.
+# ---------------------------------------------------------------------------
+
+
+def _cg_down_call(x, r, p, rz, coeffs, sids, Rs, level_weights, nu_pre,
+                  interpret):
+    """CG head + V-cycle down-sweep. Returns (x', r', rr, zs, rs_coarse)."""
+    L = len(coeffs)
+    shapes = [c.shape[1:] for c in coeffs]
+
+    def kernel(*refs):
+        cur = [0]
+
+        def take(k):
+            out = refs[cur[0]:cur[0] + k]
+            cur[0] += k
+            return out
+
+        (x_ref, r_ref, p_ref, rz_ref) = take(4)
+        c_refs = take(L)
+        sid_refs = take(L)
+        R_refs = take(2 * (L - 1))
+        (xo_ref, ro_ref, rr_ref) = take(3)   # outputs
+        z_refs = take(L - 1)                 # outputs: per-level partial z
+        r_out = take(L - 1)                  # outputs: r_1..r_{L-1}
+        az_refs = take(L - 1)                # scratch
+
+        # --- CG head ---
+        _kernel_body(p_ref, c_refs[0], az_refs[0], level_weights[0], 2)
+        Ap = az_refs[0][...]
+        pAp = jnp.sum(p_ref[...] * Ap)
+        rz = rz_ref[0, 0]
+        alpha = jnp.where(pAp > 0, rz / pAp, 0.0)
+        xo_ref[...] = x_ref[...] + alpha * p_ref[...]
+        ro_ref[...] = r_ref[...] - alpha * Ap
+        rr_ref[0, 0] = jnp.sum(ro_ref[...] * ro_ref[...])
+
+        # --- V-cycle down-sweep on the new residual ---
+        r_all = (ro_ref,) + r_out
+        for l in range(L - 1):
+            _smooth_inplace(z_refs[l], r_all[l], c_refs[l], sid_refs[l],
+                            az_refs[l], level_weights[l], 2, nu_pre, True)
+            _kernel_body(z_refs[l], c_refs[l], az_refs[l], level_weights[l], 2)
+            res = r_all[l][...] - az_refs[l][...]
+            R0 = R_refs[2 * l][...]
+            R1 = R_refs[2 * l + 1][...]
+            r_all[l + 1][...] = _mm(_mm(R0, res), R1.T)
+
+    out_shape = ([jax.ShapeDtypeStruct(shapes[0], jnp.float32)] * 2
+                 + [jax.ShapeDtypeStruct((1, 1), jnp.float32)]
+                 + [jax.ShapeDtypeStruct(shapes[l], jnp.float32)
+                    for l in range(L - 1)]
+                 + [jax.ShapeDtypeStruct(shapes[l], jnp.float32)
+                    for l in range(1, L)])
+    n_in = 4 + 2 * L + 2 * (L - 1)
+    in_specs = ([pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
+                + [pl.BlockSpec(memory_space=pltpu.SMEM)]
+                + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_in - 4))
+    out_specs = ([pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
+                 + [pl.BlockSpec(memory_space=pltpu.SMEM)]
+                 + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 * (L - 1)))
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=tuple(out_shape),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        scratch_shapes=[pltpu.VMEM(shapes[l], jnp.float32)
+                        for l in range(L - 1)],
+        interpret=interpret,
+    )(x, r, p, rz, *coeffs, *sids, *Rs)
+    x_new, r_new, rr = outs[0], outs[1], outs[2]
+    zs = outs[3:3 + L - 1]
+    rs = outs[3 + L - 1:]
+    return x_new, r_new, rr, zs, rs
+
+
+def _cg_up_call(zs, zc, rs_all, p, rz, coeffs, sids, Rs, level_weights,
+                nu_post, interpret):
+    """V-cycle up-sweep + CG tail. rs_all[0] must be the NEW fine residual.
+    Returns (p', rz_new)."""
+    L = len(coeffs)
+    shapes = [c.shape[1:] for c in coeffs]
+
+    def kernel(*refs):
+        cur = [0]
+
+        def take(k):
+            out = refs[cur[0]:cur[0] + k]
+            cur[0] += k
+            return out
+
+        z_in = take(L - 1)
+        (zc_ref,) = take(1)
+        r_refs = take(L - 1)       # r_0..r_{L-2}
+        (p_ref, rz_ref) = take(2)
+        c_refs = take(L)
+        sid_refs = take(L)
+        R_refs = take(2 * (L - 1))
+        (po_ref, rzo_ref) = take(2)           # outputs
+        z_scr = take(L - 1)                   # scratch: working z per level
+        az_refs = take(L - 1)                 # scratch
+        z_refs = tuple(z_scr) + (zc_ref,)
+
+        for l in range(L - 1):
+            z_scr[l][...] = z_in[l][...]
+
+        for l in range(L - 2, -1, -1):
+            R0 = R_refs[2 * l][...]
+            R1 = R_refs[2 * l + 1][...]
+            z_refs[l][...] += _mm(_mm(R0.T, z_refs[l + 1][...]), R1)
+            _smooth_inplace(z_refs[l], r_refs[l], c_refs[l], sid_refs[l],
+                            az_refs[l], level_weights[l], 2, nu_post, False)
+
+        # --- CG tail: β-update of the search direction ---
+        z0 = z_refs[0][...]
+        rz_new = jnp.sum(r_refs[0][...] * z0)
+        rz = rz_ref[0, 0]
+        beta = jnp.where(rz > 0, rz_new / rz, 0.0)
+        po_ref[...] = z0 + beta * p_ref[...]
+        rzo_ref[0, 0] = rz_new
+
+    n_in = (L - 1) + 1 + (L - 1) + 2 + L + L + 2 * (L - 1)
+    in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_in
+    in_specs[2 * (L - 1) + 2] = pl.BlockSpec(memory_space=pltpu.SMEM)  # rz
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct(shapes[0], jnp.float32),
+                   jax.ShapeDtypeStruct((1, 1), jnp.float32)),
+        in_specs=in_specs,
+        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
+                   pl.BlockSpec(memory_space=pltpu.SMEM)),
+        scratch_shapes=([pltpu.VMEM(shapes[l], jnp.float32)
+                         for l in range(L - 1)]
+                        + [pltpu.VMEM(shapes[l], jnp.float32)
+                           for l in range(L - 1)]),
+        interpret=interpret,
+    )(*zs, zc, *rs_all, p, rz, *coeffs, *sids, *Rs)
+    return outs[0], outs[1]
+
+
+def fused_cg_iteration(x, r, p, rz, coeffs, sids, Rs, inv_c, level_weights,
+                       nu, interpret=False):
+    """One full PCG iteration (2 kernels + 1 matvec). Takes/returns the CG
+    state (x, r, p, rz [(1,1)]) plus the recurrence ⟨r,r⟩ for the stop test."""
+    x, r, rr, zs, rs = _cg_down_call(x, r, p, rz, coeffs, sids, Rs,
+                                     level_weights, nu, interpret)
+    rc = rs[-1]
+    zc = jnp.dot(inv_c, rc.ravel(), preferred_element_type=jnp.float32,
+                 precision=jax.lax.Precision.HIGHEST).reshape(rc.shape)
+    p, rz = _cg_up_call(zs, zc, (r,) + tuple(rs[:-1]), p, rz, coeffs, sids,
+                        Rs, level_weights, nu, interpret)
+    return x, r, p, rz, rr
+
+
+# ---------------------------------------------------------------------------
 # Two-axis striped kernel (3D grids whose single-axis stripes exceed VMEM,
 # e.g. 256³ where even a 2-plane stripe of the 27-channel coeff is 33 MB).
 # Tiles over axes 0 and 1 with 3x3 clamped halo blocks (axis 0 is untiled in

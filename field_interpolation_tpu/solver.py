@@ -139,6 +139,76 @@ def pcg(
     return x, SolveInfo(iterations=k, rel_residual=rel, converged=converged)
 
 
+def _pcg_fused(ops, b: jax.Array, x0: Optional[jax.Array], *, tol, maxiter,
+               max_restarts, nu, interpret) -> tuple[jax.Array, SolveInfo]:
+    """Fully-fused 2D multigrid-PCG: each iteration is 2 Pallas kernels + 1
+    coarse matvec (ops.pallas_stencil.fused_cg_iteration), with the same
+    safeguarded-restart stopping rule as `pcg`. ``ops`` comes from
+    multigrid.build_fused_solver_operands."""
+    from .ops.pallas_stencil import (fused_cg_iteration, fused_normal_apply,
+                                     fused_vcycle_2d)
+    coeffs, sids, Rs, inv32, lw = ops
+    weights = lw[0]
+
+    def apply_f(v):
+        return fused_normal_apply(v, coeffs[0], weights, 2,
+                                  interpret=interpret)
+
+    def vcycle(r):
+        return fused_vcycle_2d(r, coeffs, sids, Rs, inv32, lw, nu, nu,
+                               interpret=interpret)
+
+    x = jnp.zeros_like(b) if x0 is None else x0
+    b_norm2 = _dot(b, b)
+    tol2 = tol * tol * jnp.maximum(b_norm2, jnp.finfo(b.dtype).tiny)
+
+    def inner_cond(state):
+        _, _, _, _, rr, k = state
+        return (rr > tol2) & (k < maxiter)
+
+    def inner_body(state):
+        x, r, p, rz, _, k = state
+        x, r, p, rz, rr = fused_cg_iteration(x, r, p, rz, coeffs, sids, Rs,
+                                             inv32, lw, nu, interpret)
+        return x, r, p, rz, rr[0, 0], k + 1
+
+    def outer_cond(state):
+        _, r, k, segments, progressed = state
+        return ((_dot(r, r) > tol2) & (k < maxiter)
+                & (segments < max_restarts) & progressed)
+
+    def outer_body(state):
+        x, r, k, segments, _ = state
+        z = vcycle(r)
+        x, r, _, _, _, k_new = lax.while_loop(
+            inner_cond, inner_body,
+            (x, r, z, _dot(r, z).reshape(1, 1), _dot(r, r), k))
+        r = b - apply_f(x)  # verify the recurrence exit (see pcg)
+        return x, r, k_new, segments + 1, k_new > k
+
+    r0 = b - apply_f(x)
+    x, r, k, _, _ = lax.while_loop(
+        outer_cond, outer_body,
+        (x, r0, jnp.int32(0), jnp.int32(0), jnp.bool_(True)))
+    rr = _dot(r, r)
+    rel = jnp.sqrt(rr / jnp.maximum(b_norm2, jnp.finfo(b.dtype).tiny))
+    return x, SolveInfo(iterations=k, rel_residual=rel, converged=rr <= tol2)
+
+
+def _fused_solver_ops(problem: Problem, config: SolverConfig):
+    """(ops, interpret) for the fully-fused PCG path, or (None, _) when the
+    problem/config/backend rules it out."""
+    if config.backend == "xla" or config.preconditioner != "multigrid":
+        return None, False
+    platform = jax.devices()[0].platform
+    on_tpu = platform in ("tpu", "axon")
+    if not (on_tpu or config.backend == "pallas"):
+        return None, False
+    from .multigrid import build_fused_solver_operands
+    ops = build_fused_solver_operands(problem, config)
+    return ops, not on_tpu
+
+
 def _make_apply(problem: Problem, config: SolverConfig):
     """Resolve the fp32 operator-apply backend (config.backend): whole-array
     fused Pallas kernel when the problem fits VMEM, striped kernel when axis
@@ -207,6 +277,12 @@ def solve(
 ) -> tuple[jax.Array, SolveInfo]:
     """Solve the assembled problem; the reference's `solve_sparse_linear`
     (+`_with_guess` via ``x0``) equivalent (SURVEY.md §2 C7/C8)."""
+    fused_ops, fused_interpret = _fused_solver_ops(problem, config)
+    if fused_ops is not None:
+        return _pcg_fused(fused_ops, problem.b, x0, tol=config.tol,
+                          maxiter=config.maxiter,
+                          max_restarts=config.max_restarts,
+                          nu=config.mg_pre_smooth, interpret=fused_interpret)
     apply_fn = _make_apply(problem, config)
     return pcg(
         apply_fn,
@@ -243,8 +319,10 @@ def _solve_refined_impl(p64, config: SolverConfig,
         p32 = _downcast_problem(p64)
         apply64 = p64.apply
         b64 = p64.b
-    apply32 = _make_apply(p32, config)
-    precond = _make_precond(p32, config, apply32)
+    fused_ops, fused_interpret = _fused_solver_ops(p32, config)
+    if fused_ops is None:
+        apply32 = _make_apply(p32, config)
+        precond = _make_precond(p32, config, apply32)
     bnorm2 = jnp.maximum(_dot(b64, b64), jnp.finfo(jnp.float64).tiny)
     tol2 = config.tol * config.tol * bnorm2
     # fp32 inner solves stagnate around ~1e-4 relative (rounding floor).
@@ -273,11 +351,17 @@ def _solve_refined_impl(p64, config: SolverConfig,
         # max_restarts=1: the f64 outer loop IS the verification layer here;
         # fp32-verifying each inner exit would pay an apply for a residual
         # the next f64 round recomputes anyway.
-        d32, info = pcg(apply32, r.astype(jnp.float32),
-                        precond_fn=precond, tol=inner_tol,
-                        maxiter=config.maxiter,
-                        recompute_every=config.recompute_every,
-                        max_restarts=1)
+        if fused_ops is not None:
+            d32, info = _pcg_fused(fused_ops, r.astype(jnp.float32), None,
+                                   tol=inner_tol, maxiter=config.maxiter,
+                                   max_restarts=1, nu=config.mg_pre_smooth,
+                                   interpret=fused_interpret)
+        else:
+            d32, info = pcg(apply32, r.astype(jnp.float32),
+                            precond_fn=precond, tol=inner_tol,
+                            maxiter=config.maxiter,
+                            recompute_every=config.recompute_every,
+                            max_restarts=1)
         x = x + d32.astype(jnp.float64)
         r = b64 - apply64(x)
         return x, r, k + 1, iters + info.iterations

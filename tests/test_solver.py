@@ -169,6 +169,46 @@ def test_converged_flag_is_true_residual_1024(rng):
     assert rel <= 1.2e-4, rel
 
 
+def test_fused_pcg_matches_xla(rng):
+    """The fully-fused PCG path (2 Pallas kernels/iteration, interpret mode
+    here) must reach the same solution and tol as the generic XLA loop."""
+    grid = Grid((64, 64))
+    weights = Weights(model_2=0.3)
+    theta = rng.uniform(0, 2 * np.pi, 100)
+    nrm = np.stack([np.cos(theta), np.sin(theta)], -1)
+    pos = 31.5 + 20.0 * nrm
+    problem = assemble_problem(grid, weights, jnp.asarray(pos, jnp.float32),
+                               jnp.zeros(100, jnp.float32),
+                               gradients=jnp.asarray(nrm, jnp.float32))
+    cfg_p = SolverConfig(tol=1e-4, preconditioner="multigrid",
+                         backend="pallas")
+    cfg_x = SolverConfig(tol=1e-4, preconditioner="multigrid", backend="xla")
+    x_p, info_p = solve(problem, cfg_p)
+    x_x, info_x = solve(problem, cfg_x)
+    assert bool(info_p.converged), float(info_p.rel_residual)
+    # Same preconditioner, same math — iteration counts agree to ±2.
+    assert abs(int(info_p.iterations) - int(info_x.iterations)) <= 2
+    scale = np.abs(np.asarray(x_x)).max()
+    np.testing.assert_allclose(np.asarray(x_p), np.asarray(x_x),
+                               atol=2e-3 * scale)
+
+
+def test_fused_pcg_refined_to_1e6(rng):
+    """solve_refined routes its fp32 inner solves through the fused PCG when
+    available; the TRUE-1e-6 bar must still hold (f64 oracle check)."""
+    from field_interpolation_tpu import assemble_precise, solve_refined
+    grid = Grid((64, 64))
+    weights, pos, vals = _random_problem(rng, grid, n=100,
+                                         weights=Weights(model_2=0.3))
+    p64 = assemble_precise(grid, weights, pos, vals)
+    cfg = SolverConfig(tol=1e-6, preconditioner="multigrid",
+                       backend="pallas", maxiter=2000)
+    field, info = solve_refined(p64, cfg)
+    assert bool(info.converged), float(info.rel_residual)
+    r = _rel_residual_f64(grid, weights, pos, vals, np.asarray(field, np.float64))
+    assert r < 1e-6, r
+
+
 def test_jacobi_beats_plain_cg(rng):
     grid = Grid((32, 32))
     weights, pos, vals = _random_problem(rng, grid, n=60,
