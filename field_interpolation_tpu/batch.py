@@ -77,10 +77,14 @@ def solve_refined_batch(
     """Batched mixed-precision solves to TRUE ≤tol residual: vmap of
     solver.solve_refined over problems assembled in float64 (e.g. via
     vmap'ed assemble under jax.enable_x64). Dense coarsest MG falls back to
-    Jacobi for the same per-lane-inverse reason as solve_batch."""
+    Jacobi for the same per-lane-inverse reason as solve_batch. Backend is
+    forced to XLA: vmap-of-pallas_call under jax.enable_x64 emits int64 grid
+    indices that Mosaic cannot legalize (measured on v5e; the unbatched
+    refined path and the non-x64 batched path keep their kernels)."""
     import dataclasses
 
     from .solver import _solve_refined_impl
+    config = dataclasses.replace(config, backend="xla")
     if (config.preconditioner == "multigrid"
             and config.mg_coarse_solver == "dense"):
         config = dataclasses.replace(config, mg_coarse_solver="jacobi")

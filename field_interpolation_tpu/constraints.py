@@ -107,6 +107,41 @@ def multilinear_corner_data(grid: Grid, positions: jax.Array):
     return corner_idx, row_coeffs.astype(positions.dtype), in_bounds
 
 
+def _densify_matmul_2d(grid: Grid, corner_idx, M, bvec):
+    """Scatter-free densify for 2D fp32 problems: the scatter-add is a sum of
+    rank-1 node updates, i.e. coeff[chan] = Σ_s OHrow_sᵀ v_s OHcol_s — one
+    one-hot MXU matmul per corner instead of a scatter op (which costs a
+    FLAT ~0.5-1 ms on this backend regardless of payload; the matmuls are
+    ~1.3 GMAC at 256²/1k samples ≈ tens of µs). Channel assignment is a
+    compile-time constant, so the combine is static adds.
+
+    Cost scales as n_samples × num_nodes — the caller gates on that product
+    (large grids keep the scatter, whose flat cost is then amortized).
+    """
+    n0, n1 = grid.shape
+    C = grid.num_corners
+    chan = _offset_channels(2)                         # [C, C] numpy
+    row = corner_idx // n1                             # [n, C]
+    col = corner_idx % n1
+    dtype = M.dtype
+    oh_r = (row[..., None] == jnp.arange(n0, dtype=row.dtype)).astype(dtype)
+    oh_c = (col[..., None] == jnp.arange(n1, dtype=col.dtype)).astype(dtype)
+
+    # Per corner c: [n0, n] @ [n, (C+1)·n1] — the C normal-block channels for
+    # this corner plus the RHS plane ride in one matmul.
+    vals = jnp.concatenate([M, bvec[:, :, None]], axis=2)     # [n, C, C+1]
+    rhs = vals[:, :, :, None] * oh_c[:, :, None, :]           # [n, C, C+1, n1]
+    planes = jnp.einsum("ncr,ncki->ckri", oh_r, rhs,
+                        precision=jax.lax.Precision.HIGHEST)  # [C, C+1, n0, n1]
+
+    coeff = jnp.zeros((3**2, n0, n1), dtype=dtype)
+    for c in range(C):
+        for d in range(C):
+            coeff = coeff.at[int(chan[c, d])].add(planes[c, d])  # static idx
+    b = jnp.sum(planes[:, C], axis=0)
+    return coeff, b
+
+
 def densify_data_term(
     grid: Grid,
     corner_idx: jax.Array,      # [n, C]
@@ -134,8 +169,13 @@ def densify_data_term(
     bvec = jnp.einsum("nrc,nr->nc", Bw, tw,
                       precision=jax.lax.Precision.HIGHEST)  # [n, C]
 
-    chan = jnp.asarray(_offset_channels(D))            # [C, C]
     n = corner_idx.shape[0]
+    # 2D fp32 problems below the flop gate take the scatter-free matmul path.
+    if (D == 2 and row_coeffs.dtype == jnp.float32
+            and n * grid.num_nodes <= 200_000_000):
+        return _densify_matmul_2d(grid, corner_idx, M, bvec)
+
+    chan = jnp.asarray(_offset_channels(D))            # [C, C]
     idx_cc = jnp.broadcast_to(corner_idx[:, :, None], (n, C, C))
     chan_cc = jnp.broadcast_to(chan[None, :, :], (n, C, C))
 
