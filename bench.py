@@ -216,7 +216,10 @@ def main():
     weights = fi.Weights(model_2=0.3, data_pos=1.0, data_gradient=1.0)
     cfg = fi.SolverConfig(tol=1e-6, preconditioner="multigrid", maxiter=2000)
 
-    K = 48
+    # Marginal throughput: the ~33 ms tunnel dispatch round trip is shared by
+    # the whole chain, so larger K isolates per-field cost better (K=48
+    # still carried ~0.7 ms/field of dispatch).
+    K = 96
     ptss = np.stack([make_circle_cloud(n_points, grid.shape, seed=s)[0]
                      for s in range(K)])
     nrms = np.stack([make_circle_cloud(n_points, grid.shape, seed=s)[1]

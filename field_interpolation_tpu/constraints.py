@@ -142,6 +142,50 @@ def _densify_matmul_2d(grid: Grid, corner_idx, M, bvec):
     return coeff, b
 
 
+def scatter_corners_matmul_2d(grid: Grid, corner_idx: jax.Array,
+                              values: jax.Array) -> jax.Array:
+    """Scatter-free corner accumulation for 2D grids:
+    out[i,j] = Σ_{s,c: corner_idx[s,c]=(i,j)} values[s,c], computed as one
+    one-hot MXU matmul per corner (see _densify_matmul_2d for the cost
+    argument). ``values`` must be fp32 (the MXU accumulates in fp32)."""
+    n0, n1 = grid.shape
+    C = grid.num_corners
+    row = corner_idx // n1
+    col = corner_idx % n1
+    dt = values.dtype
+    out = jnp.zeros((n0, n1), dt)
+    for c in range(C):
+        oh_r = (row[:, c, None] == jnp.arange(n0, dtype=row.dtype)).astype(dt)
+        oh_c = (col[:, c, None] == jnp.arange(n1, dtype=col.dtype)).astype(dt)
+        rhs = values[:, c, None] * oh_c
+        out = out + jax.lax.dot_general(
+            oh_r, rhs, (((0,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST)
+    return out
+
+
+def scatter_corners_hilo_2d(grid: Grid, corner_idx: jax.Array,
+                            values64: jax.Array) -> jax.Array:
+    """float64 corner scatter via a double-float (hi/lo fp32) matmul pair —
+    the f64 XLA scatter costs ~0.5 ms FLAT on this backend and dominates
+    both the precise assembly and every f64 refinement apply. Splitting
+    v = hi + lo (exact) and scatter-accumulating each part in fp32 bounds
+    the result's error by the fp32 accumulation of the partial sums
+    (~1e-7 relative — an order below the 1e-6 honesty bar; the exact-f64
+    scatter path remains for 3D/large problems)."""
+    hi = values64.astype(jnp.float32)
+    lo = (values64 - hi).astype(jnp.float32)
+    out_hi = scatter_corners_matmul_2d(grid, corner_idx, hi)
+    out_lo = scatter_corners_matmul_2d(grid, corner_idx, lo)
+    return out_hi.astype(values64.dtype) + out_lo.astype(values64.dtype)
+
+
+def use_matmul_scatter(grid: Grid, n: int) -> bool:
+    """The one-hot matmul costs n·num_nodes MACs per corner — a win over the
+    flat-cost scatter only below this gate (2D only)."""
+    return grid.ndim == 2 and n * grid.num_nodes <= 200_000_000
+
+
 def densify_data_term(
     grid: Grid,
     corner_idx: jax.Array,      # [n, C]

@@ -588,6 +588,164 @@ def fused_vcycle_2d(r, coeffs, sids, Rs, inv_c, level_weights,
 
 
 # ---------------------------------------------------------------------------
+# Striped halo-extended kernel: 2D shard blocks too large for whole-VMEM
+# residency (e.g. 4096×512 locals when 4096² is sharded 8-ways). Stripes the
+# LOCAL block along axis 0. Axis-1 halos (width = radius) live in the input
+# (exchanged by ppermute before the call); axis-0 halos are the exchanged
+# slabs themselves, zero-padded to the kernel's 8-row halo unit and selected
+# in-kernel for the edge stripes (interior stripes read their neighbors
+# straight out of the local block via clamped index maps).
+# ---------------------------------------------------------------------------
+
+_H_EXT = 8  # axis-0 halo block unit (sublane-aligned)
+
+
+def pick_stripe_ext(local_shape: tuple[int, ...], radius: int,
+                    itemsize: int = 4) -> int | None:
+    """Stripe T for the striped-ext sharded kernel, or None (2D only)."""
+    if len(local_shape) != 2 or radius > _H_EXT:
+        return None
+    n0, n1 = local_shape
+    W = n1 + 2 * radius
+    h = _H_EXT
+    for T in (256, 128, 64, 32, 16, 8):
+        if n0 % T or T % h:
+            continue
+        est = (2 * 9 * T * n1 + 2 * (T + 2 * h) * W + 4 * h * W) * itemsize
+        if est <= _VMEM_BUDGET_BYTES:
+            return T
+    return None
+
+
+@functools.partial(jax.jit, static_argnames=("weights", "radius",
+                                             "grid_shape", "stripe",
+                                             "interpret"))
+def fused_normal_apply_ext_striped(x_ext1: jax.Array, from_top: jax.Array,
+                                   from_bot: jax.Array, coeff: jax.Array,
+                                   global_start: jax.Array, weights: Weights,
+                                   radius: int, grid_shape: tuple[int, ...],
+                                   stripe: int,
+                                   interpret: bool = False) -> jax.Array:
+    """Striped fused apply on a 2D shard block.
+
+    x_ext1: [n0_loc, n1_loc + 2·radius] — local block extended along axis 1
+    only. from_top/from_bot: [radius, n1_loc + 2·radius] axis-0 halo slabs
+    (corner-filled: exchanged AFTER the axis-1 extension). coeff:
+    [9, n0_loc, n1_loc]. global_start: int32[2].
+    """
+    r = radius
+    h = _H_EXT
+    n0_loc = x_ext1.shape[0]
+    W = x_ext1.shape[1]
+    n1_loc = W - 2 * r
+    T = stripe
+    g = n0_loc // T
+    hb = T // h
+    n0g, n1g = grid_shape
+
+    # Zero-pad the exchanged slabs to the h-row halo unit (outer side).
+    # Rows beyond the operator radius are never read by windows that reach
+    # the output (see the striped-kernel neutralization argument).
+    ft = jnp.concatenate(
+        [jnp.zeros((h - r, W), x_ext1.dtype), from_top], axis=0)
+    fb = jnp.concatenate(
+        [from_bot, jnp.zeros((h - r, W), x_ext1.dtype)], axis=0)
+
+    def kernel(gs_ref, prev_ref, cur_ref, next_ref, ft_ref, fb_ref, c_ref,
+               o_ref):
+        i = pl.program_id(0)
+        prev = jnp.where(i == 0, ft_ref[...], prev_ref[...])
+        nxt = jnp.where(i == g - 1, fb_ref[...], next_ref[...])
+        ext = jnp.concatenate([prev, cur_ref[...], nxt], axis=0)
+        # (T + 2h, W); output rows map to ext rows [h, h+T),
+        # output cols to ext cols [r, r+n1_loc).
+        row0_g = gs_ref[0] + i * T       # global row of first output row
+        col0_g = gs_ref[1]               # global col of first output col
+        cur_mid = cur_ref[:, r:r + n1_loc]
+
+        if 0 in weights.active_orders():
+            o_ref[...] = (weights.model_0 ** 2) * cur_mid
+        else:
+            o_ref[...] = jnp.zeros((T, n1_loc), o_ref.dtype)
+
+        for order in weights.active_orders():
+            if order == 0:
+                continue
+            taps = stencils.STENCIL_TAPS[order]
+            L = len(taps)
+            w2 = weights.model_weight(order) ** 2
+
+            # axis 0: windows over ext rows (cols cropped to the block)
+            if n0g >= L:
+                view = ext[:, r:r + n1_loc]
+                m = view.shape[0] - L + 1
+                y = None
+                for k, s in enumerate(taps):
+                    t = s * view[k:k + m]
+                    y = t if y is None else y + t
+                win_g = (row0_g - h) + jax.lax.broadcasted_iota(
+                    jnp.int32, y.shape, 0)
+                y = jnp.where((win_g >= 0) & (win_g <= n0g - L), y, 0.0)
+                for k, s in enumerate(taps):
+                    o_ref[...] += (w2 * s) * y[h - k:h - k + T]
+
+            # axis 1: windows over the current rows' full extended width
+            if n1g >= L:
+                view = ext[h:h + T, :]
+                m = W - L + 1
+                y = None
+                for k, s in enumerate(taps):
+                    t = s * view[:, k:k + m]
+                    y = t if y is None else y + t
+                win_g = (col0_g - r) + jax.lax.broadcasted_iota(
+                    jnp.int32, y.shape, 1)
+                y = jnp.where((win_g >= 0) & (win_g <= n1g - L), y, 0.0)
+                for k, s in enumerate(taps):
+                    o_ref[...] += (w2 * s) * y[:, r - k:r - k + n1_loc]
+
+        offsets = cons.offset_list(2)
+        for o_idx in range(offsets.shape[0]):
+            o0, o1 = int(offsets[o_idx][0]), int(offsets[o_idx][1])
+            o_ref[...] += (c_ref[o_idx]
+                           * ext[h + o0:h + o0 + T, r + o1:r + o1 + n1_loc])
+
+    try:
+        vma = jax.typeof(x_ext1).vma
+    except Exception:
+        vma = None
+    if vma is not None:
+        out_shape = jax.ShapeDtypeStruct((n0_loc, n1_loc), x_ext1.dtype,
+                                         vma=vma)
+    else:
+        out_shape = jax.ShapeDtypeStruct((n0_loc, n1_loc), x_ext1.dtype)
+
+    def prev_map(i):
+        return (jnp.maximum(i * hb - 1, 0), 0)
+
+    def next_map(i):
+        return (jnp.minimum(i * hb + hb, g * hb - 1), 0)
+
+    return pl.pallas_call(
+        kernel,
+        grid=(g,),
+        out_shape=out_shape,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((h, W), prev_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, W), next_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, W), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, W), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, T, n1_loc), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((T, n1_loc), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(global_start.astype(jnp.int32), x_ext1, x_ext1, x_ext1, ft, fb, coeff)
+
+
+# ---------------------------------------------------------------------------
 # Fully-fused PCG iteration (2D, VMEM-fit, dense-coarsest multigrid): ONE
 # iteration = 2 Pallas kernels + 1 small XLA matvec, vs ~15 separate XLA ops
 # + 3 kernels for the generic pcg loop. The CG vector algebra (Ap, dots,

@@ -65,12 +65,10 @@ def shard_problem(problem: Problem, mesh: Mesh) -> Problem:
     )
 
 
-def _halo_exchange(x: jax.Array, axis: int, h: int, axis_name: str,
-                   n_shards: int) -> jax.Array:
-    """Extend block by h on both sides along ``axis`` with neighbor data
+def _halo_slabs(x: jax.Array, axis: int, h: int, axis_name: str,
+                n_shards: int) -> tuple[jax.Array, jax.Array]:
+    """(from_left, from_right) neighbor slabs of width h along ``axis``
     (zeros at global edges, matching the unsharded zero-pad semantics)."""
-    if h == 0:
-        return x
     n = x.shape[axis]
     right_slab = lax.slice_in_dim(x, n - h, n, axis=axis)
     left_slab = lax.slice_in_dim(x, 0, h, axis=axis)
@@ -83,6 +81,15 @@ def _halo_exchange(x: jax.Array, axis: int, h: int, axis_name: str,
     else:
         from_left = jnp.zeros_like(right_slab)
         from_right = jnp.zeros_like(left_slab)
+    return from_left, from_right
+
+
+def _halo_exchange(x: jax.Array, axis: int, h: int, axis_name: str,
+                   n_shards: int) -> jax.Array:
+    """Extend block by h on both sides along ``axis`` with neighbor data."""
+    if h == 0:
+        return x
+    from_left, from_right = _halo_slabs(x, axis, h, axis_name, n_shards)
     return jnp.concatenate([from_left, x, from_right], axis=axis)
 
 
@@ -126,15 +133,21 @@ def make_sharded_apply(grid_shape: tuple[int, ...], weights, mesh: Mesh,
     w0_2 = weights.model_0 ** 2 if 0 in weights.active_orders() else 0.0
 
     use_pallas = False
+    stripe_ext = None
     pallas_interpret = False
     if backend != "xla":
         from ..ops import pallas_stencil as ps
         local_shape = tuple(grid_shape[d] // shards[d] for d in range(ndim))
-        if ps.ext_fits_vmem(local_shape, radius):
+        whole = ps.ext_fits_vmem(local_shape, radius)
+        if not whole and ndim == 2:
+            stripe_ext = ps.pick_stripe_ext(local_shape, radius)
+        if whole or stripe_ext is not None:
             platform = jax.devices()[0].platform
             on_tpu = platform in ("tpu", "axon")
             use_pallas = on_tpu or backend == "pallas"
             pallas_interpret = not on_tpu
+            if not whole and not use_pallas:
+                stripe_ext = None
 
     def _global_start_vec(x_loc):
         gs = []
@@ -147,6 +160,18 @@ def make_sharded_apply(grid_shape: tuple[int, ...], weights, mesh: Mesh,
 
     def apply_fn(x_loc: jax.Array) -> jax.Array:
         if use_pallas and x_loc.dtype == jnp.float32:
+            c32 = coeff.astype(jnp.float32)
+            if stripe_ext is not None:
+                from ..ops.pallas_stencil import fused_normal_apply_ext_striped
+                name1 = axis_names[1] if len(axis_names) > 1 else None
+                x1 = _halo_exchange(x_loc, 1, radius, name1, shards[1])
+                from_top, from_bot = _halo_slabs(
+                    x1, 0, radius, axis_names[0] if axis_names else None,
+                    shards[0])
+                return fused_normal_apply_ext_striped(
+                    x1, from_top, from_bot, c32, _global_start_vec(x_loc),
+                    weights, radius, grid_shape, stripe_ext,
+                    interpret=pallas_interpret)
             from ..ops.pallas_stencil import fused_normal_apply_ext
             x_ext = x_loc
             for d in range(ndim):
@@ -154,7 +179,7 @@ def make_sharded_apply(grid_shape: tuple[int, ...], weights, mesh: Mesh,
                                        axis_names[d] if d < len(axis_names)
                                        else None, shards[d])
             return fused_normal_apply_ext(
-                x_ext, coeff.astype(jnp.float32), _global_start_vec(x_loc),
+                x_ext, c32, _global_start_vec(x_loc),
                 weights, ndim, radius, grid_shape,
                 interpret=pallas_interpret)
         return _xla_apply(x_loc)

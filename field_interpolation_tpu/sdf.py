@@ -118,6 +118,13 @@ class PreciseProblem:
                        precision=jax.lax.Precision.HIGHEST)
         contrib = jnp.einsum("nrc,nr->nc", self.rows64, y,
                              precision=jax.lax.Precision.HIGHEST)
+        # The f64 scatter costs ~0.5 ms FLAT per apply on TPU and would
+        # dominate every refinement round; 2D uses the hi/lo fp32 matmul
+        # scatter instead (error ~1e-7 relative — see scatter_corners_hilo_2d).
+        if cons.use_matmul_scatter(self.grid, self.corner_idx.shape[0]):
+            d = cons.scatter_corners_hilo_2d(self.grid, self.corner_idx,
+                                             contrib)
+            return s + d
         d = jnp.zeros((self.grid.num_nodes,), x.dtype
                       ).at[self.corner_idx].add(contrib)
         return s + d.reshape(self.grid.shape)
@@ -165,8 +172,11 @@ def _assemble_precise_impl(grid, weights, positions, values, gradients,
     tw = row_t * row_w
     bvec = jnp.einsum("nrc,nr->nc", rows64, tw,
                       precision=jax.lax.Precision.HIGHEST)
-    b64 = jnp.zeros((grid.num_nodes,), jnp.float64
-                    ).at[corner_idx].add(bvec).reshape(grid.shape)
+    if cons.use_matmul_scatter(grid, corner_idx.shape[0]):
+        b64 = cons.scatter_corners_hilo_2d(grid, corner_idx, bvec)
+    else:
+        b64 = jnp.zeros((grid.num_nodes,), jnp.float64
+                        ).at[corner_idx].add(bvec).reshape(grid.shape)
 
     # fp32 problem from the same (f64-rounded) inputs.
     p32 = assemble(grid, weights, positions.astype(jnp.float32),

@@ -145,6 +145,43 @@ def test_sharded_pallas_apply_matches_exactly(rng, mesh_shape, names):
     np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-4)
 
 
+@pytest.mark.parametrize("weights", [Weights(model_2=1.0),
+                                     Weights(model_2=0.4, model_3=0.3)])
+def test_striped_ext_kernel_matches_unsharded(rng, weights):
+    """The striped halo-extended kernel (for shard blocks too big for whole
+    VMEM) must reproduce the unsharded apply on a simulated 2-shard row
+    split, including global boundary masks and cross-shard halos."""
+    from field_interpolation_tpu.ops.pallas_stencil import (
+        fused_normal_apply_ext_striped)
+    from field_interpolation_tpu.stencils import max_stencil_radius
+
+    grid = Grid((64, 48))
+    problem = _problem_2d(rng, grid, weights, n=70)
+    x = jnp.asarray(rng.standard_normal(grid.shape), jnp.float32)
+    want = np.asarray(problem.apply(x))
+
+    r = max(max_stencil_radius(weights), 1)
+    n0_loc = 32
+    pieces = []
+    xp = np.asarray(x)
+    for s in range(2):
+        rows = slice(s * n0_loc, (s + 1) * n0_loc)
+        # axis-1 halos: axis 1 is unsharded -> zeros (global-edge semantics)
+        x1 = np.pad(xp[rows], ((0, 0), (r, r)))
+        top = (np.pad(xp[s * n0_loc - r:s * n0_loc], ((0, 0), (r, r)))
+               if s > 0 else np.zeros((r, 48 + 2 * r)))
+        bot = (np.pad(xp[(s + 1) * n0_loc:(s + 1) * n0_loc + r],
+                      ((0, 0), (r, r)))
+               if s < 1 else np.zeros((r, 48 + 2 * r)))
+        got = fused_normal_apply_ext_striped(
+            jnp.asarray(x1, jnp.float32), jnp.asarray(top, jnp.float32),
+            jnp.asarray(bot, jnp.float32),
+            problem.coeff[:, rows], jnp.asarray([s * n0_loc, 0], jnp.int32),
+            weights, r, grid.shape, 8, interpret=True)
+        pieces.append(np.asarray(got))
+    np.testing.assert_allclose(np.concatenate(pieces), want, atol=2e-4)
+
+
 def test_sharded_solve_pallas_backend_equals_xla(rng):
     """Full sharded PCG with the Pallas ext-kernel apply (interpret mode)
     converges to the same field as the XLA path."""
