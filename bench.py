@@ -271,6 +271,41 @@ def main():
     log(f"single-shot latency (incl. ~33 ms tunnel round trip): "
         f"{single_ms:.1f} ms")
 
+    # Per-iteration cost of the fully-fused PCG (2 Pallas kernels + 1 coarse
+    # matvec per iteration): difference an assembly-only chain out of an
+    # assembly+solve chain over the same K distinct problems.
+    cfg32 = fi.SolverConfig(tol=1e-4, preconditioner="multigrid")
+
+    @jax.jit
+    def asm_only(ptss, nrms):
+        def one(c, pn):
+            p = fi.assemble_sdf(grid, weights, *pn)
+            return c + jnp.sum(p.b) * 1e-9, 0
+        return jax.lax.scan(one, jnp.float32(0), (ptss, nrms))[0]
+
+    @jax.jit
+    def asm_solve(ptss, nrms):
+        def one(c, pn):
+            p = fi.assemble_sdf(grid, weights, *pn)
+            x, info = fi.solve(p, cfg32)
+            return c + jnp.sum(x) * 1e-9, info.iterations
+        return jax.lax.scan(one, jnp.float32(0), (ptss, nrms))
+
+    float(jnp.sum(asm_only(pts_d, nrm_d)))
+    t0 = time.perf_counter()
+    float(jnp.sum(asm_only(pts_d, nrm_d)))
+    t_a = time.perf_counter() - t0
+    c, iters32 = asm_solve(pts_d, nrm_d)
+    float(jnp.sum(c))
+    t0 = time.perf_counter()
+    c, iters32 = asm_solve(pts_d, nrm_d)
+    float(jnp.sum(c))
+    t_s = time.perf_counter() - t0
+    n_it = int(np.sum(np.asarray(iters32)))
+    log(f"[fused PCG] fp32 MG solve: {(t_s - t_a) * 1e3 / K:.2f} ms/solve, "
+        f"{(t_s - t_a) * 1e6 / max(n_it, 1):.1f} us/iteration "
+        f"({n_it / K:.1f} iters avg at tol=1e-4)")
+
     roofline_metric(log)
     secondary_configs(log)
 

@@ -109,6 +109,50 @@ def restrict_diag(diag_f: jax.Array, coarse_shape: tuple[int, ...]) -> jax.Array
     return out
 
 
+@functools.lru_cache(maxsize=None)
+def _smoothness_dense_matrix(shape: tuple[int, ...], weights: Weights) -> np.ndarray:
+    """Dense matrix of the smoothness normal operator on a (small) grid —
+    problem-INDEPENDENT, so the coarsest-level operator assembles as
+    ``S_const + diag(data_diag)`` instead of ``n_c`` traced operator applies
+    per problem (the applies were a measurable per-field setup cost when
+    solves are pipelined over distinct problems)."""
+    import math
+    n = math.prod(shape)
+    S = np.zeros((n, n))
+    for order in weights.active_orders():
+        w2 = weights.model_weight(order) ** 2
+        if order == 0:
+            S += w2 * np.eye(n)
+            continue
+        for ax, m in enumerate(shape):
+            taps = stencils.STENCIL_TAPS[order]
+            L = len(taps)
+            if m < L:
+                continue
+            B = np.zeros((m - L + 1, m))
+            for r in range(m - L + 1):
+                B[r, r:r + L] = taps
+            S_ax = B.T @ B
+            mats = [np.eye(shape[d]) if d != ax else S_ax
+                    for d in range(len(shape))]
+            K = mats[0]
+            for M in mats[1:]:
+                K = np.kron(K, M)
+            S += w2 * K
+    S.setflags(write=False)
+    return S
+
+
+def _coarse_dense_inverse(lvl: "_Level") -> jax.Array:
+    """Exact symmetric inverse of the coarsest operator: host-constant
+    smoothness matrix + the per-problem lumped data diagonal."""
+    A_c = (jnp.asarray(_smoothness_dense_matrix(lvl.shape, lvl.weights),
+                       lvl.diag.dtype)
+           + jnp.diag(lvl.data_diag.ravel()))
+    inv = jnp.linalg.inv(A_c)
+    return 0.5 * (inv + inv.T)  # exact symmetry for CG
+
+
 @dataclasses.dataclass(frozen=True)
 class _Level:
     """One multigrid level (host-side setup object, captured as constants)."""
@@ -230,12 +274,7 @@ def build_fused_solver_operands(problem: Problem, config: SolverConfig):
         rowabs = (stencils.smoothness_row_abs_sum(lvl.shape, lvl.weights,
                                                   lvl.diag.dtype) + lvl.data_diag)
         taus.append(2.0 * config.mg_omega / _rho_bound(rowabs, lvl.diag))
-    n_c = math.prod(levels[-1].shape)
-    eye = jnp.eye(n_c, dtype=levels[-1].diag.dtype
-                  ).reshape((n_c,) + levels[-1].shape)
-    A_c = jax.vmap(levels[-1].apply)(eye).reshape(n_c, n_c).T
-    inv = jnp.linalg.inv(A_c)
-    coarse_dense = 0.5 * (inv + inv.T)
+    coarse_dense = _coarse_dense_inverse(levels[-1])
     return _fused_vcycle_operands(problem, levels, taus, fine_inv_diag,
                                   inv_diags, coarse_dense)
 
@@ -249,9 +288,27 @@ def make_vcycle_preconditioner(problem: Problem, config: SolverConfig,
     Pallas kernel). ``pallas_smooth`` runs each level's ν Jacobi sweeps as a
     single VMEM-resident fused kernel (ops.pallas_stencil.fused_smooth) —
     the dominant launch-overhead cost of the V-cycle at bench sizes."""
-    fine_apply = problem.apply if apply_fn is None else apply_fn
     levels = build_levels(problem, config)
     nu = config.mg_pre_smooth
+    ndim = problem.grid.ndim
+
+    # Fine-level operator for smoothing + restricted residual: exact, or
+    # diagonally-lumped data term (see SolverConfig.mg_fine_operator). Auto
+    # lumps when the coeff tensor exceeds the VMEM budget — exactly the
+    # regime where dragging 3^D channels through HBM per sweep dominates.
+    lump = config.mg_fine_operator == "lumped"
+    if config.mg_fine_operator == "auto":
+        from .ops.pallas_stencil import fits_vmem
+        lump = not fits_vmem(problem.grid.shape) and apply_fn is None
+    if lump:
+        from .constraints import data_diag as _dd
+        fine_ddiag = _dd(problem.coeff, ndim)
+
+        def fine_apply(x):
+            return (stencils.smoothness_apply(x, problem.weights, ndim)
+                    + fine_ddiag * x)
+    else:
+        fine_apply = problem.apply if apply_fn is None else apply_fn
 
     fine_inv_diag = jnp.where(problem.diag > 0, 1.0 / problem.diag, 1.0)
     inv_diags = [jnp.where(l.diag > 0, 1.0 / l.diag, 1.0) for l in levels]
@@ -260,10 +317,14 @@ def make_vcycle_preconditioner(problem: Problem, config: SolverConfig,
     # operators ρ(D⁻¹A) ≈ 2.7 — a fixed τ=0.8 blows up. Auto-scale each
     # level's damping so τ·ρ ≤ 2·mg_omega (< 2), using closed-form row-abs
     # sums for the bound.
-    ndim = problem.grid.ndim
-    fine_rowabs = (stencils.smoothness_row_abs_sum(
-        problem.grid.shape, problem.weights, problem.diag.dtype)
-        + jnp.sum(jnp.abs(problem.coeff), axis=-(ndim + 1)))
+    if lump:
+        fine_rowabs = (stencils.smoothness_row_abs_sum(
+            problem.grid.shape, problem.weights, problem.diag.dtype)
+            + fine_ddiag)
+    else:
+        fine_rowabs = (stencils.smoothness_row_abs_sum(
+            problem.grid.shape, problem.weights, problem.diag.dtype)
+            + jnp.sum(jnp.abs(problem.coeff), axis=-(ndim + 1)))
     taus = [2.0 * config.mg_omega / _rho_bound(fine_rowabs, problem.diag)]
     for lvl in levels:
         rowabs = (stencils.smoothness_row_abs_sum(lvl.shape, lvl.weights,
@@ -286,7 +347,11 @@ def make_vcycle_preconditioner(problem: Problem, config: SolverConfig,
         for li in range(len(levels) + 1):
             if li == 0:
                 shape_l = problem.grid.shape
-                coeff_l = problem.coeff
+                if lump:  # smoother must match fine_apply's lumped data term
+                    coeff_l = jnp.zeros_like(problem.coeff
+                                             ).at[center].set(fine_ddiag)
+                else:
+                    coeff_l = problem.coeff
                 weights_l = problem.weights
                 sid = taus[0] * fine_inv_diag
             else:
@@ -312,12 +377,8 @@ def make_vcycle_preconditioner(problem: Problem, config: SolverConfig,
     if config.mg_coarse_solver == "dense" and levels:
         lvl = levels[-1]
         import math
-        n_c = math.prod(lvl.shape)
-        if n_c <= 4096:
-            eye = jnp.eye(n_c, dtype=lvl.diag.dtype).reshape((n_c,) + lvl.shape)
-            A_c = jax.vmap(lvl.apply)(eye).reshape(n_c, n_c).T
-            inv = jnp.linalg.inv(A_c)
-            coarse_dense = 0.5 * (inv + inv.T)  # exact symmetry for CG
+        if math.prod(lvl.shape) <= 4096:
+            coarse_dense = _coarse_dense_inverse(lvl)
 
     # Whole-V-cycle Pallas kernel (2D, VMEM-fit, dense coarsest, symmetric
     # smoothing): replaces ~40 small XLA ops per preconditioner application

@@ -64,6 +64,15 @@ class SolverConfig:
     mg_coarse_iters: int = 32  # used when mg_coarse_solver == "jacobi"
     mg_omega: float = 0.95     # Jacobi damping as a fraction of the stability
                                # limit: effective step τ = 2·mg_omega/ρ̂(D⁻¹A)
+    # Fine-level operator used INSIDE the V-cycle (smoothing + the restricted
+    # residual): "exact" uses the assembled operator; "lumped" replaces the
+    # fine data term by its diagonal (the same lumping every coarse level
+    # already uses). The preconditioner stays SPD either way — CG's operator
+    # is always exact — but "lumped" avoids dragging the 3^D-channel coeff
+    # tensor through HBM on every smoothing sweep, which dominates V-cycle
+    # cost whenever the problem exceeds VMEM (3D 128³: 27 channels ≈ 235 MB
+    # per sweep). "auto" lumps exactly in that regime.
+    mg_fine_operator: str = "auto"   # "auto" | "exact" | "lumped"
     mg_min_size: int = 16      # stop coarsening when min(shape) <= this.
                                # The dense coarsest inverse is PER-PROBLEM
                                # setup cost: jnp.linalg.inv of 1024 nodes

@@ -209,6 +209,31 @@ def test_fused_pcg_refined_to_1e6(rng):
     assert r < 1e-6, r
 
 
+def test_multigrid_lumped_fine_operator(rng):
+    """mg_fine_operator='lumped' (diag-lumped data term inside the V-cycle,
+    the large-grid traffic saver) is still a valid SPD preconditioner: the
+    solve converges to the same field with a comparable iteration count."""
+    grid = Grid((64, 64))
+    theta = rng.uniform(0, 2 * np.pi, 120)
+    nrm = np.stack([np.cos(theta), np.sin(theta)], -1)
+    pos = 31.5 + 20.0 * nrm
+    problem = assemble_problem(grid, Weights(model_2=0.3),
+                               jnp.asarray(pos, jnp.float32),
+                               jnp.zeros(120, jnp.float32),
+                               gradients=jnp.asarray(nrm, jnp.float32))
+    cfg_e = SolverConfig(tol=1e-4, preconditioner="multigrid", backend="xla",
+                         mg_fine_operator="exact", maxiter=2000)
+    cfg_l = SolverConfig(tol=1e-4, preconditioner="multigrid", backend="xla",
+                         mg_fine_operator="lumped", maxiter=2000)
+    x_e, info_e = solve(problem, cfg_e)
+    x_l, info_l = solve(problem, cfg_l)
+    assert bool(info_l.converged)
+    assert int(info_l.iterations) <= 3 * int(info_e.iterations)
+    scale = np.abs(np.asarray(x_e)).max()
+    np.testing.assert_allclose(np.asarray(x_l), np.asarray(x_e),
+                               atol=2e-3 * scale)
+
+
 def test_jacobi_beats_plain_cg(rng):
     grid = Grid((32, 32))
     weights, pos, vals = _random_problem(rng, grid, n=60,
