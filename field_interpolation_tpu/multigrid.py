@@ -296,10 +296,17 @@ def make_vcycle_preconditioner(problem: Problem, config: SolverConfig,
     # diagonally-lumped data term (see SolverConfig.mg_fine_operator). Auto
     # lumps when the coeff tensor exceeds the VMEM budget — exactly the
     # regime where dragging 3^D channels through HBM per sweep dominates.
+    # (The caller's fused apply_fn still reads all 3^D channels per sweep,
+    # so beyond-VMEM 3D problems lump regardless of it. 2D stays exact:
+    # there the fused striped kernel's one 9-channel pass already beats the
+    # ~12 unfused XLA shift passes a lumped smoothing sweep costs — measured
+    # 4096²: lumped 1091 ms/41 iters vs exact 726 ms/26 iters, while 3D 128³
+    # went 88 → 53 ms from lumping away the 27-channel traffic.)
     lump = config.mg_fine_operator == "lumped"
     if config.mg_fine_operator == "auto":
         from .ops.pallas_stencil import fits_vmem
-        lump = not fits_vmem(problem.grid.shape) and apply_fn is None
+        lump = (problem.grid.ndim >= 3
+                and not fits_vmem(problem.grid.shape))
     if lump:
         from .constraints import data_diag as _dd
         fine_ddiag = _dd(problem.coeff, ndim)

@@ -761,11 +761,29 @@ def fused_normal_apply_ext_striped(x_ext1: jax.Array, from_top: jax.Array,
 # ---------------------------------------------------------------------------
 
 
-def _cg_down_call(x, r, p, rz, coeffs, sids, Rs, level_weights, nu_pre,
-                  interpret):
-    """CG head + V-cycle down-sweep. Returns (x', r', rr, zs, rs_coarse)."""
+def _coarse_solve_inkernel(inv4, rc):
+    """z_c = A_c⁻¹ r_c inside a kernel: Mosaic can't reshape (n0,n1)→(n²,1),
+    so the dense inverse arrives as [n0, n1, n0, n1] and the matvec runs as
+    a static reduction loop over the first coarse axis (the coarsest level
+    is ≤ ~32², so this is ~65k VPU ops)."""
+    nc0 = rc.shape[0]
+    acc = None
+    for c in range(nc0):
+        t = jnp.sum(inv4[:, :, c, :] * rc[c, :][None, None, :], axis=-1)
+        acc = t if acc is None else acc + t
+    return acc
+
+
+def fused_cg_iteration(x, r, p, rz, coeffs, sids, Rs, inv_c, level_weights,
+                       nu, interpret=False):
+    """One full PCG iteration as ONE Pallas kernel: CG head (Ap, α, x/r
+    updates, ⟨r,r⟩) + V-cycle down-sweep + in-kernel coarse solve + up-sweep
+    + CG tail (β, p update). Takes/returns the CG state (x, r, p, rz
+    [(1,1)]) plus the recurrence ⟨r,r⟩ for the stop test."""
     L = len(coeffs)
     shapes = [c.shape[1:] for c in coeffs]
+    nc0, nc1 = shapes[-1]
+    inv4 = inv_c.reshape(nc0, nc1, nc0, nc1)
 
     def kernel(*refs):
         cur = [0]
@@ -779,10 +797,11 @@ def _cg_down_call(x, r, p, rz, coeffs, sids, Rs, level_weights, nu_pre,
         c_refs = take(L)
         sid_refs = take(L)
         R_refs = take(2 * (L - 1))
-        (xo_ref, ro_ref, rr_ref) = take(3)   # outputs
-        z_refs = take(L - 1)                 # outputs: per-level partial z
-        r_out = take(L - 1)                  # outputs: r_1..r_{L-1}
-        az_refs = take(L - 1)                # scratch
+        (inv_ref,) = take(1)
+        (xo_ref, ro_ref, po_ref, rzo_ref, rr_ref) = take(5)   # outputs
+        z_refs = take(L)          # scratch: per-level z (incl. coarsest)
+        r_scr = take(L - 1)       # scratch: r_1..r_{L-1}
+        az_refs = take(L - 1)     # scratch
 
         # --- CG head ---
         _kernel_body(p_ref, c_refs[0], az_refs[0], level_weights[0], 2)
@@ -794,120 +813,58 @@ def _cg_down_call(x, r, p, rz, coeffs, sids, Rs, level_weights, nu_pre,
         ro_ref[...] = r_ref[...] - alpha * Ap
         rr_ref[0, 0] = jnp.sum(ro_ref[...] * ro_ref[...])
 
-        # --- V-cycle down-sweep on the new residual ---
-        r_all = (ro_ref,) + r_out
+        # --- V-cycle down on the new residual ---
+        r_all = (ro_ref,) + r_scr
         for l in range(L - 1):
             _smooth_inplace(z_refs[l], r_all[l], c_refs[l], sid_refs[l],
-                            az_refs[l], level_weights[l], 2, nu_pre, True)
+                            az_refs[l], level_weights[l], 2, nu, True)
             _kernel_body(z_refs[l], c_refs[l], az_refs[l], level_weights[l], 2)
             res = r_all[l][...] - az_refs[l][...]
             R0 = R_refs[2 * l][...]
             R1 = R_refs[2 * l + 1][...]
             r_all[l + 1][...] = _mm(_mm(R0, res), R1.T)
 
-    out_shape = ([jax.ShapeDtypeStruct(shapes[0], jnp.float32)] * 2
-                 + [jax.ShapeDtypeStruct((1, 1), jnp.float32)]
-                 + [jax.ShapeDtypeStruct(shapes[l], jnp.float32)
-                    for l in range(L - 1)]
-                 + [jax.ShapeDtypeStruct(shapes[l], jnp.float32)
-                    for l in range(1, L)])
-    n_in = 4 + 2 * L + 2 * (L - 1)
+        # --- coarse solve (exact dense inverse, in-kernel) ---
+        z_refs[L - 1][...] = _coarse_solve_inkernel(inv_ref[...],
+                                                    r_all[L - 1][...])
+
+        # --- up-sweep ---
+        for l in range(L - 2, -1, -1):
+            R0 = R_refs[2 * l][...]
+            R1 = R_refs[2 * l + 1][...]
+            z_refs[l][...] += _mm(_mm(R0.T, z_refs[l + 1][...]), R1)
+            _smooth_inplace(z_refs[l], r_all[l], c_refs[l], sid_refs[l],
+                            az_refs[l], level_weights[l], 2, nu, False)
+
+        # --- CG tail ---
+        z0 = z_refs[0][...]
+        rz_new = jnp.sum(ro_ref[...] * z0)
+        beta = jnp.where(rz > 0, rz_new / rz, 0.0)
+        po_ref[...] = z0 + beta * p_ref[...]
+        rzo_ref[0, 0] = rz_new
+
+    n_in = 4 + 2 * L + 2 * (L - 1) + 1
     in_specs = ([pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
                 + [pl.BlockSpec(memory_space=pltpu.SMEM)]
                 + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_in - 4))
-    out_specs = ([pl.BlockSpec(memory_space=pltpu.VMEM)] * 2
-                 + [pl.BlockSpec(memory_space=pltpu.SMEM)]
-                 + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (2 * (L - 1)))
+    out_shape = ([jax.ShapeDtypeStruct(shapes[0], jnp.float32)] * 3
+                 + [jax.ShapeDtypeStruct((1, 1), jnp.float32)] * 2)
+    out_specs = ([pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
+                 + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2)
     outs = pl.pallas_call(
         kernel,
         out_shape=tuple(out_shape),
         in_specs=in_specs,
         out_specs=tuple(out_specs),
-        scratch_shapes=[pltpu.VMEM(shapes[l], jnp.float32)
-                        for l in range(L - 1)],
-        interpret=interpret,
-    )(x, r, p, rz, *coeffs, *sids, *Rs)
-    x_new, r_new, rr = outs[0], outs[1], outs[2]
-    zs = outs[3:3 + L - 1]
-    rs = outs[3 + L - 1:]
-    return x_new, r_new, rr, zs, rs
-
-
-def _cg_up_call(zs, zc, rs_all, p, rz, coeffs, sids, Rs, level_weights,
-                nu_post, interpret):
-    """V-cycle up-sweep + CG tail. rs_all[0] must be the NEW fine residual.
-    Returns (p', rz_new)."""
-    L = len(coeffs)
-    shapes = [c.shape[1:] for c in coeffs]
-
-    def kernel(*refs):
-        cur = [0]
-
-        def take(k):
-            out = refs[cur[0]:cur[0] + k]
-            cur[0] += k
-            return out
-
-        z_in = take(L - 1)
-        (zc_ref,) = take(1)
-        r_refs = take(L - 1)       # r_0..r_{L-2}
-        (p_ref, rz_ref) = take(2)
-        c_refs = take(L)
-        sid_refs = take(L)
-        R_refs = take(2 * (L - 1))
-        (po_ref, rzo_ref) = take(2)           # outputs
-        z_scr = take(L - 1)                   # scratch: working z per level
-        az_refs = take(L - 1)                 # scratch
-        z_refs = tuple(z_scr) + (zc_ref,)
-
-        for l in range(L - 1):
-            z_scr[l][...] = z_in[l][...]
-
-        for l in range(L - 2, -1, -1):
-            R0 = R_refs[2 * l][...]
-            R1 = R_refs[2 * l + 1][...]
-            z_refs[l][...] += _mm(_mm(R0.T, z_refs[l + 1][...]), R1)
-            _smooth_inplace(z_refs[l], r_refs[l], c_refs[l], sid_refs[l],
-                            az_refs[l], level_weights[l], 2, nu_post, False)
-
-        # --- CG tail: β-update of the search direction ---
-        z0 = z_refs[0][...]
-        rz_new = jnp.sum(r_refs[0][...] * z0)
-        rz = rz_ref[0, 0]
-        beta = jnp.where(rz > 0, rz_new / rz, 0.0)
-        po_ref[...] = z0 + beta * p_ref[...]
-        rzo_ref[0, 0] = rz_new
-
-    n_in = (L - 1) + 1 + (L - 1) + 2 + L + L + 2 * (L - 1)
-    in_specs = [pl.BlockSpec(memory_space=pltpu.VMEM)] * n_in
-    in_specs[2 * (L - 1) + 2] = pl.BlockSpec(memory_space=pltpu.SMEM)  # rz
-    outs = pl.pallas_call(
-        kernel,
-        out_shape=(jax.ShapeDtypeStruct(shapes[0], jnp.float32),
-                   jax.ShapeDtypeStruct((1, 1), jnp.float32)),
-        in_specs=in_specs,
-        out_specs=(pl.BlockSpec(memory_space=pltpu.VMEM),
-                   pl.BlockSpec(memory_space=pltpu.SMEM)),
         scratch_shapes=([pltpu.VMEM(shapes[l], jnp.float32)
-                         for l in range(L - 1)]
+                         for l in range(L)]
+                        + [pltpu.VMEM(shapes[l], jnp.float32)
+                           for l in range(1, L)]
                         + [pltpu.VMEM(shapes[l], jnp.float32)
                            for l in range(L - 1)]),
         interpret=interpret,
-    )(*zs, zc, *rs_all, p, rz, *coeffs, *sids, *Rs)
-    return outs[0], outs[1]
-
-
-def fused_cg_iteration(x, r, p, rz, coeffs, sids, Rs, inv_c, level_weights,
-                       nu, interpret=False):
-    """One full PCG iteration (2 kernels + 1 matvec). Takes/returns the CG
-    state (x, r, p, rz [(1,1)]) plus the recurrence ⟨r,r⟩ for the stop test."""
-    x, r, rr, zs, rs = _cg_down_call(x, r, p, rz, coeffs, sids, Rs,
-                                     level_weights, nu, interpret)
-    rc = rs[-1]
-    zc = jnp.dot(inv_c, rc.ravel(), preferred_element_type=jnp.float32,
-                 precision=jax.lax.Precision.HIGHEST).reshape(rc.shape)
-    p, rz = _cg_up_call(zs, zc, (r,) + tuple(rs[:-1]), p, rz, coeffs, sids,
-                        Rs, level_weights, nu, interpret)
+    )(x, r, p, rz, *coeffs, *sids, *Rs, inv4)
+    x, r, p, rz, rr = outs
     return x, r, p, rz, rr
 
 

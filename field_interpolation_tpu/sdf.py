@@ -101,30 +101,61 @@ class PreciseProblem:
     kept MATTER-FREE — per-sample weighted rows instead of a densified
     coefficient tensor, because software-emulated f64 makes the dense 3^D
     apply and its 16k-element assembly scatter the most expensive parts of
-    the refinement. The f64 apply is exact smoothness convs + tiny einsums
-    over [n, R, 2^D] rows + one small scatter."""
+    the refinement. The f64 residual is exact smoothness convs + tiny
+    einsums over [n, R, 2^D] rows + one corner scatter of the per-sample
+    ROW residuals (see residual64)."""
 
     p32: Problem
     b64: jax.Array          # [*grid] float64 — Aᵀb of the f64 system
     corner_idx: jax.Array   # [n, 2^D] int32
     rows64: jax.Array       # [n, R, 2^D] float64 — weight-scaled row coeffs
+    tw64: jax.Array         # [n, R] float64 — weight-scaled row targets
     grid: Grid = dataclasses.field(metadata=dict(static=True))
     weights: Weights = dataclasses.field(metadata=dict(static=True))
 
-    def apply64(self, x: jax.Array) -> jax.Array:
-        s = stencils.smoothness_apply(x, self.weights, self.grid.ndim)
+    def _row_contrib(self, y: jax.Array) -> jax.Array:
+        """Bᵀy per corner: [n, R] row values → [n, 2^D] corner contribs."""
+        return jnp.einsum("nrc,nr->nc", self.rows64, y,
+                          precision=jax.lax.Precision.HIGHEST)
+
+    def _rows_apply(self, x: jax.Array) -> jax.Array:
+        """B x: [grid] → [n, R] per-sample row values."""
         xc = x.reshape(-1)[self.corner_idx]                     # [n, C]
-        y = jnp.einsum("nrc,nc->nr", self.rows64, xc,
-                       precision=jax.lax.Precision.HIGHEST)
-        contrib = jnp.einsum("nrc,nr->nc", self.rows64, y,
-                             precision=jax.lax.Precision.HIGHEST)
-        # The f64 scatter costs ~0.5 ms FLAT per apply on TPU and would
-        # dominate every refinement round; 2D uses the hi/lo fp32 matmul
-        # scatter instead (error ~1e-7 relative — see scatter_corners_hilo_2d).
+        return jnp.einsum("nrc,nc->nr", self.rows64, xc,
+                          precision=jax.lax.Precision.HIGHEST)
+
+    def residual64(self, x: jax.Array) -> jax.Array:
+        """r = b − A x in LEAST-SQUARES form −S x + Bᵀ(t − B x), with the
+        corner scatter in EXACT float64 (the least-squares row residuals do
+        NOT vanish at convergence, so a fast fp32-accumulated scatter here
+        would leave a fixed ~1e-6-scale error floor — measured). Costs one
+        flat ~0.4 ms f64 scatter; solve_refined calls this ONCE per solve
+        and tracks later rounds incrementally via apply64_delta."""
+        s = stencils.smoothness_apply(x, self.weights, self.grid.ndim)
+        contrib = self._row_contrib(self.tw64 - self._rows_apply(x))
+        d = jnp.zeros((self.grid.num_nodes,), x.dtype
+                      ).at[self.corner_idx].add(contrib)
+        return d.reshape(self.grid.shape) - s
+
+    def apply64_delta(self, d: jax.Array) -> jax.Array:
+        """A d for a refinement CORRECTION d, with the fast hi/lo fp32
+        matmul scatter: the scattered values B d scale with ‖d‖, which
+        shrinks geometrically over rounds, so the fp32-accumulation error
+        (∝ the scattered values) self-scales far below the honesty bar —
+        unlike a full-residual evaluation (see residual64)."""
+        s = stencils.smoothness_apply(d, self.weights, self.grid.ndim)
+        contrib = self._row_contrib(self._rows_apply(d))
         if cons.use_matmul_scatter(self.grid, self.corner_idx.shape[0]):
-            d = cons.scatter_corners_hilo_2d(self.grid, self.corner_idx,
-                                             contrib)
-            return s + d
+            return s + cons.scatter_corners_hilo_2d(self.grid,
+                                                    self.corner_idx, contrib)
+        dd = jnp.zeros((self.grid.num_nodes,), d.dtype
+                       ).at[self.corner_idx].add(contrib)
+        return s + dd.reshape(self.grid.shape)
+
+    def apply64(self, x: jax.Array) -> jax.Array:
+        """A x with the exact f64 scatter."""
+        s = stencils.smoothness_apply(x, self.weights, self.grid.ndim)
+        contrib = self._row_contrib(self._rows_apply(x))
         d = jnp.zeros((self.grid.num_nodes,), x.dtype
                       ).at[self.corner_idx].add(contrib)
         return s + d.reshape(self.grid.shape)
@@ -172,6 +203,9 @@ def _assemble_precise_impl(grid, weights, positions, values, gradients,
     tw = row_t * row_w
     bvec = jnp.einsum("nrc,nr->nc", rows64, tw,
                       precision=jax.lax.Precision.HIGHEST)
+    # b64 = residual64(0); its hi/lo evaluation error (~3e-7 relative) only
+    # perturbs the first correction and the tolerance normalization — the
+    # self-scaling residual64 keeps later rounds honest (see PreciseProblem).
     if cons.use_matmul_scatter(grid, corner_idx.shape[0]):
         b64 = cons.scatter_corners_hilo_2d(grid, corner_idx, bvec)
     else:
@@ -185,7 +219,7 @@ def _assemble_precise_impl(grid, weights, positions, values, gradients,
                    else gradients.astype(jnp.float32),
                    point_weights=point_weights.astype(jnp.float32))
     return PreciseProblem(p32=p32, b64=b64, corner_idx=corner_idx,
-                          rows64=rows64, grid=grid, weights=weights)
+                          rows64=rows64, tw64=tw, grid=grid, weights=weights)
 
 
 def sdf_from_points_precise(

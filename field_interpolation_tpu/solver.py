@@ -310,14 +310,20 @@ def _solve_refined_impl(p64, config: SolverConfig,
                         x0: Optional[jax.Array]) -> tuple[jax.Array, SolveInfo]:
     # Accept either a float64-assembled Problem (legacy) or the matter-free
     # PreciseProblem (sdf.assemble_precise) whose f64 data term stays in
-    # per-sample form — much cheaper under f64 emulation on TPU.
-    if hasattr(p64, "apply64"):
+    # per-sample form — much cheaper under f64 emulation on TPU. Precision
+    # protocol: ONE exact-f64-scatter residual evaluation after round 1
+    # (residual64), then incremental updates r ← r − A·d_k whose hi/lo
+    # fp32-matmul scatter error scales with the shrinking corrections
+    # (apply64_delta) — see the PreciseProblem docstrings.
+    if hasattr(p64, "residual64"):
         p32 = p64.p32
-        apply64 = p64.apply64
+        residual64 = p64.residual64
+        apply_delta = p64.apply64_delta
         b64 = p64.b64
     else:
         p32 = _downcast_problem(p64)
-        apply64 = p64.apply
+        residual64 = lambda x: p64.b - p64.apply(x)
+        apply_delta = p64.apply
         b64 = p64.b
     fused_ops, fused_interpret = _fused_solver_ops(p32, config)
     if fused_ops is None:
@@ -333,7 +339,34 @@ def _solve_refined_impl(p64, config: SolverConfig,
         r = b64  # skip one f64-emulated apply: r(0) = b
     else:
         x = x0.astype(jnp.float64)
-        r = b64 - apply64(x)
+        r = residual64(x)
+
+    def inner(r, inner_tol):
+        # Each round only needs to shrink the CURRENT residual down to the
+        # final target — e.g. from 1e-4·||b|| a 1e-2 inner reduction suffices
+        # for 1e-6 overall. Solving every round to the fp32 floor wastes
+        # ~40% of the iterations. max_restarts=1: the f64 outer loop IS the
+        # verification layer here; fp32-verifying each inner exit would pay
+        # an apply for a residual the next f64 round recomputes anyway.
+        if fused_ops is not None:
+            return _pcg_fused(fused_ops, r.astype(jnp.float32), None,
+                              tol=inner_tol, maxiter=config.maxiter,
+                              max_restarts=1, nu=config.mg_pre_smooth,
+                              interpret=fused_interpret)
+        return pcg(apply32, r.astype(jnp.float32),
+                   precond_fn=precond, tol=inner_tol,
+                   maxiter=config.maxiter,
+                   recompute_every=config.recompute_every,
+                   max_restarts=1)
+
+    # Round 1 (peeled): the big step from (near) zero, followed by the ONE
+    # exact-scatter residual evaluation of the solve.
+    rel0 = jnp.sqrt(_dot(r, r) / bnorm2)
+    inner_tol0 = jnp.clip(0.5 * config.tol / rel0, floor, 0.5
+                          ).astype(jnp.float32)
+    d32, info0 = inner(r, inner_tol0)
+    x = x + d32.astype(jnp.float64)
+    r = residual64(x)
 
     def cond(state):
         _, r, k, iters = state
@@ -341,32 +374,17 @@ def _solve_refined_impl(p64, config: SolverConfig,
 
     def body(state):
         x, r, k, iters = state
-        # Each round only needs to shrink the CURRENT residual down to the
-        # final target — e.g. from 1e-4·||b|| a 1e-2 inner reduction suffices
-        # for 1e-6 overall. Solving every round to the fp32 floor wastes
-        # ~40% of the iterations.
         rel = jnp.sqrt(_dot(r, r) / bnorm2)
         inner_tol = jnp.clip(0.5 * config.tol / rel, floor, 0.5
                              ).astype(jnp.float32)
-        # max_restarts=1: the f64 outer loop IS the verification layer here;
-        # fp32-verifying each inner exit would pay an apply for a residual
-        # the next f64 round recomputes anyway.
-        if fused_ops is not None:
-            d32, info = _pcg_fused(fused_ops, r.astype(jnp.float32), None,
-                                   tol=inner_tol, maxiter=config.maxiter,
-                                   max_restarts=1, nu=config.mg_pre_smooth,
-                                   interpret=fused_interpret)
-        else:
-            d32, info = pcg(apply32, r.astype(jnp.float32),
-                            precond_fn=precond, tol=inner_tol,
-                            maxiter=config.maxiter,
-                            recompute_every=config.recompute_every,
-                            max_restarts=1)
-        x = x + d32.astype(jnp.float64)
-        r = b64 - apply64(x)
+        d32, info = inner(r, inner_tol)
+        d64 = d32.astype(jnp.float64)
+        x = x + d64
+        r = r - apply_delta(d64)  # incremental: scatter error ∝ ‖d‖
         return x, r, k + 1, iters + info.iterations
 
-    x, r, k, iters = lax.while_loop(cond, body, (x, r, jnp.int32(0), jnp.int32(0)))
+    x, r, k, iters = lax.while_loop(
+        cond, body, (x, r, jnp.int32(1), info0.iterations))
     rel = jnp.sqrt(_dot(r, r) / bnorm2)
     return x, SolveInfo(iterations=iters, rel_residual=rel.astype(jnp.float32),
                         converged=rel <= config.tol)

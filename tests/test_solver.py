@@ -209,6 +209,33 @@ def test_fused_pcg_refined_to_1e6(rng):
     assert r < 1e-6, r
 
 
+def test_refined_reported_residual_is_true_256(rng):
+    """The bench-config problem (256², 1k oriented points): the SELF-reported
+    relative residual must agree with the external f64-oracle residual to
+    many digits — the refined driver's precision protocol (one exact-scatter
+    residual + self-scaling incremental updates) makes the report exact, not
+    just the convergence honest. Regression for the hi/lo-scatter episode
+    where the report was ~3x below the truth."""
+    from field_interpolation_tpu import sdf_from_points_precise
+    grid = Grid((256, 256))
+    weights = Weights(model_2=0.3)
+    theta = rng.uniform(0, 2 * np.pi, 1000)
+    nrm = np.stack([np.cos(theta), np.sin(theta)], 1)
+    pts = 127.5 + 89.6 * nrm + 0.2 * rng.standard_normal((1000, 2))
+    cfg = SolverConfig(tol=1e-6, preconditioner="multigrid", maxiter=2000,
+                       backend="xla")
+    x, info = sdf_from_points_precise(grid, weights, pts, nrm, config=cfg)
+    assert bool(info.converged)
+    eq = assemble_explicit(grid, weights, pts, np.zeros(1000), nrm)
+    AtA, Atb = normal_equations(eq, grid.num_nodes)
+    r = Atb - AtA @ np.asarray(x, np.float64).ravel()
+    external = np.linalg.norm(r) / np.linalg.norm(Atb)
+    assert external <= 1e-6, external
+    # The report must BE the true residual (not merely below tol).
+    assert abs(external - float(info.rel_residual)) <= 0.02 * external, (
+        external, float(info.rel_residual))
+
+
 def test_multigrid_lumped_fine_operator(rng):
     """mg_fine_operator='lumped' (diag-lumped data term inside the V-cycle,
     the large-grid traffic saver) is still a valid SPD preconditioner: the
