@@ -26,6 +26,7 @@ sharded solve ≡ unsharded solve to fp32 reduction-order noise.
 
 from __future__ import annotations
 
+import dataclasses
 import functools
 from typing import Optional
 
@@ -41,6 +42,12 @@ from ..grid import Grid
 from ..operators import Problem
 from ..solver import SolveInfo, pcg
 from ..weights import SolverConfig
+
+# Distributed-multigrid replication threshold (see _make_mg_plan): levels
+# with at most this many TOTAL nodes are psum-gathered onto every shard and
+# smoothed/solved redundantly — a ≤16 KB fp32 collective per V-cycle beats
+# halo-exchanging blocks that have shrunk to a few rows each.
+_REPLICATE_NODES = 4096
 
 
 def _grid_partition_spec(mesh: Mesh, ndim: int, lead_dims: int = 0) -> P:
@@ -111,6 +118,45 @@ def _sharded_axis_normal_apply(x_ext: jax.Array, order: int, axis: int,
     y = jnp.where((win_g >= 0) & (win_g <= n_glob - L), y, 0.0)
     z = stencils._full_conv_t(y, taps, axis, m + L - 1)  # length n_loc + 2h
     return lax.slice_in_dim(z, h, h + n_loc, axis=axis)
+
+
+def _smoothness_from_ext(x_ext: jax.Array, loc_shape: tuple[int, ...],
+                         weights, grid_shape: tuple[int, ...],
+                         axis_names, shards, radius: int) -> jax.Array:
+    """Smoothness normal-operator part Σ_k w_k²(B_kᵀB_k)x of the sharded
+    apply, on a block already halo-extended by ``radius`` along EVERY axis.
+    Masks are evaluated in global coordinates (dropped rows only at global
+    grid edges — SPEC.md boundary policy; internal shard seams are interior)."""
+    ndim = len(grid_shape)
+    smooth_orders = [k for k in weights.active_orders() if k > 0]
+    w0_2 = weights.model_0 ** 2 if 0 in weights.active_orders() else 0.0
+
+    x_loc_view = x_ext
+    for d in range(ndim):
+        x_loc_view = lax.slice_in_dim(x_loc_view, radius,
+                                      radius + loc_shape[d], axis=d)
+    out = jnp.zeros_like(x_loc_view)
+    if w0_2:
+        out = out + w0_2 * x_loc_view
+
+    for d in range(ndim):
+        n_loc = loc_shape[d]
+        n_glob = grid_shape[d]
+        if len(axis_names) > d and shards[d] > 1:
+            global_start = lax.axis_index(axis_names[d]) * n_loc
+        else:
+            global_start = jnp.int32(0)
+        # View extended only along axis d (crop other axes' halos).
+        view = x_ext
+        for d2 in range(ndim):
+            if d2 != d:
+                view = lax.slice_in_dim(view, radius,
+                                        radius + loc_shape[d2], axis=d2)
+        for order in smooth_orders:
+            w2 = weights.model_weight(order) ** 2
+            out = out + w2 * _sharded_axis_normal_apply(
+                view, order, d, radius, n_glob, n_loc, global_start)
+    return out
 
 
 def make_sharded_apply(grid_shape: tuple[int, ...], weights, mesh: Mesh,
@@ -194,27 +240,8 @@ def make_sharded_apply(grid_shape: tuple[int, ...], weights, mesh: Mesh,
                                    axis_names[d] if d < len(axis_names) else None,
                                    shards[d])
         # x_ext now extended by `radius` along every grid axis.
-        out = jnp.zeros_like(x_loc)
-        if w0_2:
-            out = out + w0_2 * x_loc
-
-        for d in range(ndim):
-            n_loc = x_loc.shape[d]
-            n_glob = grid_shape[d]
-            if len(axis_names) > d and shards[d] > 1:
-                global_start = lax.axis_index(axis_names[d]) * n_loc
-            else:
-                global_start = jnp.int32(0)
-            # View extended only along axis d (crop other axes' halos).
-            view = x_ext
-            for d2 in range(ndim):
-                if d2 != d:
-                    view = lax.slice_in_dim(view, radius,
-                                            radius + x_loc.shape[d2], axis=d2)
-            for order in smooth_orders:
-                w2 = weights.model_weight(order) ** 2
-                out = out + w2 * _sharded_axis_normal_apply(
-                    view, order, d, radius, n_glob, n_loc, global_start)
+        out = _smoothness_from_ext(x_ext, x_loc.shape, weights, grid_shape,
+                                   axis_names, shards, radius)
 
         # Data term: offsets in {-1,0,1}^D; crop the extension to ±1 so the
         # shifted reads see neighbor values (coeff never references nodes
@@ -234,122 +261,341 @@ def make_sharded_apply(grid_shape: tuple[int, ...], weights, mesh: Mesh,
     return apply_fn
 
 
-def _make_coarse_correction(problem: Problem, mesh: Mesh):
-    """Global coarse-grid correction for the sharded preconditioner
-    (two-level additive Schwarz): a small global coarse operator is built
-    and densely inverted at setup; inside shard_map each shard restricts its
-    block (one dynamic-slice of the global Pᵀ per axis), psum assembles the
-    full coarse residual on every shard, one replicated matmul solves it,
-    and each shard prolongs back its own block. Exactly symmetric
-    (P A_c⁻¹ Pᵀ), so the combined preconditioner stays SPD.
+def _transfer_band_halos(n_f: int, n_c: int, n_shards: int) -> tuple[int, int]:
+    """(hR, hP): how far any shard's restriction band reaches into neighbor
+    FINE blocks / prolongation band into neighbor COARSE blocks, for the
+    endpoint-aligned resize transfer (multigrid._resize_matrix). Computed
+    host-side from the actual matrix support so the halo widths are exact."""
+    from ..multigrid import _resize_matrix
+    Pm = np.asarray(_resize_matrix(n_f, n_c))   # [n_f, n_c] prolongation
+    bf, bc = n_f // n_shards, n_c // n_shards
+    hR = hP = 0
+    for k in range(n_shards):
+        # Restriction rows (coarse block k) read fine cols = support of P's
+        # corresponding columns.
+        sup = np.nonzero(np.abs(Pm[:, k * bc:(k + 1) * bc]).sum(axis=1))[0]
+        hR = max(hR, k * bf - sup.min(), sup.max() + 1 - (k + 1) * bf)
+        # Prolongation rows (fine block k) read coarse cols.
+        supP = np.nonzero(np.abs(Pm[k * bf:(k + 1) * bf]).sum(axis=0))[0]
+        hP = max(hP, k * bc - supP.min(), supP.max() + 1 - (k + 1) * bc)
+    return max(0, int(hR)), max(0, int(hP))
 
-    Returns (inv [n_c, n_c], R_global list of per-axis [n_c_d, n_f_d],
-    cshape) — passed into shard_map as replicated operands; the in-body
-    restrict/solve/prolong lives in `_coarse_fn`."""
+
+@dataclasses.dataclass(frozen=True)
+class _MGPlan:
+    """Static metadata of the distributed-multigrid hierarchy (closed over
+    by the shard_map body; all arrays travel separately as operands)."""
+
+    shapes: tuple            # (K+1) level shapes, [0] = fine grid
+    fweights: object         # fine-level Weights (for lumped smoothing)
+    lweights: tuple          # (K) energy-rescaled Weights per coarse level
+    radii: tuple             # (K) smoothing halo radius per coarse level
+    n_sh: int                # levels[0..n_sh-1] sharded; rest replicated
+    lump: bool               # fine smoothing operator diagonally lumped
+    has_dense: bool          # dense coarsest inverse available
+    # per transition t (shapes[t] -> shapes[t+1]): ("ss"|"boundary"|"rr",
+    #   changing-axes tuple, per-changing-axis (hR, hP) tuple)
+    trans: tuple
+
+
+def _make_mg_plan(problem: Problem, mesh: Mesh, config: SolverConfig):
+    """Distributed geometric multigrid setup (SURVEY.md §7 hard-part #5;
+    replaces round 1's two-level additive Schwarz, whose near-exact block
+    V-cycles over-corrected internal-seam modes — the dropped-row local
+    blocks are much softer at seams than the true operator, which blew
+    iteration counts up 10-60x at 256²-class sizes).
+
+    This is the SAME V-cycle hierarchy the unsharded solver builds
+    (multigrid.build_levels — identical shapes, rescaled weights, Galerkin
+    ddiag chain, taus, dense coarsest inverse), distributed: levels stay
+    block-sharded over the mesh while they are large (halo-exchanged masked
+    smoothing, banded per-axis transfer matmuls against dynamic slices of
+    the global resize matrices), and are psum-gathered onto every shard once
+    they shrink below _REPLICATE_NODES (a <=16 KB collective per V-cycle),
+    where the remaining levels run redundantly-replicated, ending in the
+    dense coarsest solve. Sharded and unsharded preconditioners therefore
+    compute the SAME operator up to fp reduction order, and sharded
+    iteration counts match unsharded ones by construction
+    (tests/test_sharded.py::test_distributed_mg_matches_unsharded).
+
+    Returns (plan, ops, specs): static plan, operand pytree, matching
+    PartitionSpec pytree for shard_map in_specs.
+    """
     import math
 
-    from ..multigrid import _resize_matrix, restrict_diag
-    from ..stencils import axis_normal_apply, smoothness_diag
+    from ..constraints import data_diag as _data_diag
+    from ..multigrid import (_coarse_dense_inverse, _resize_matrix,
+                             _rho_bound, build_levels)
 
     grid = problem.grid
     nd = grid.ndim
     axis_names = tuple(mesh.axis_names[:nd])
     shards = tuple(mesh.shape[a] for a in axis_names) + (1,) * (nd - len(axis_names))
+    spec_g = _grid_partition_spec(mesh, nd)
+    rep = P()
+    dtype = problem.diag.dtype
 
-    # Coarse shape: cap total nodes so the dense inverse stays cheap.
-    per_axis = {1: 2048, 2: 45, 3: 12}[nd]
-    cshape = tuple(min(n, per_axis) for n in grid.shape)
-    n_c = math.prod(cshape)
+    levels = build_levels(problem, config)
+    K = len(levels)
+    shapes = (grid.shape,) + tuple(l.shape for l in levels)
 
-    # Rediscretized coarse smoothness with anisotropic energy matching:
-    # E_k,d ≈ w² · (spacing_d)^{2k} · (#rows ∝ 1/volume) · ∫(u^{(k)})², and
-    # coarse spacing along axis d is f_d fine units, coarse row count shrinks
-    # by vol = Π f — so matching the fine energy needs
-    # w_c² = w_f² · vol / f_d^{2k} (and w_c² = w_f² · vol for order 0).
-    factors = [(grid.shape[d] - 1) / max(1, cshape[d] - 1) for d in range(nd)]
-    vol = float(np.prod(factors))
-    weights = problem.weights
-    term_scale = {}
-    for order in weights.active_orders():
-        if order == 0:
-            term_scale[(0, 0)] = weights.model_0 ** 2 * vol
+    # Fine-level lumping: same rule as make_vcycle_preconditioner("auto").
+    lump = config.mg_fine_operator == "lumped"
+    if config.mg_fine_operator == "auto":
+        from ..ops.pallas_stencil import fits_vmem
+        lump = nd >= 3 and not fits_vmem(grid.shape)
+    fine_ddiag = _data_diag(problem.coeff, nd)
+
+    # Damping taus — identical formulas to the unsharded V-cycle.
+    if lump:
+        fine_rowabs = (stencils.smoothness_row_abs_sum(
+            grid.shape, problem.weights, dtype) + fine_ddiag)
+    else:
+        fine_rowabs = (stencils.smoothness_row_abs_sum(
+            grid.shape, problem.weights, dtype)
+            + jnp.sum(jnp.abs(problem.coeff), axis=0))
+    taus = [2.0 * config.mg_omega / _rho_bound(fine_rowabs, problem.diag)]
+    for lvl in levels:
+        rowabs = (stencils.smoothness_row_abs_sum(lvl.shape, lvl.weights,
+                                                  lvl.diag.dtype)
+                  + lvl.data_diag)
+        taus.append(2.0 * config.mg_omega / _rho_bound(rowabs, lvl.diag))
+    taus = jnp.stack([t.astype(jnp.float32) for t in taus])
+
+    radii = tuple(max([k for k in l.weights.active_orders() if k > 0],
+                      default=0) for l in levels)
+
+    # Sharded prefix: a coarse level stays sharded while it is large enough,
+    # divides the mesh, and every halo (smoothing + transfer bands) fits one
+    # neighbor hop.
+    n_sh = 0
+    trans_meta = []  # per transition: (kind, changing axes, (hR,hP) per axis)
+    for li in range(K):
+        S_f, S_c = shapes[li], shapes[li + 1]
+        changing = tuple(d for d in range(nd) if S_f[d] != S_c[d])
+        ok = (li == n_sh  # prefix property: previous level was sharded
+              and math.prod(S_c) > _REPLICATE_NODES
+              and all(S_c[d] % shards[d] == 0 for d in range(nd)))
+        halos = []
+        if ok:
+            for d in changing:
+                hR, hP = _transfer_band_halos(S_f[d], S_c[d], shards[d])
+                halos.append((hR, hP))
+            blocks_f = [S_f[d] // shards[d] for d in range(nd)]
+            blocks_c = [S_c[d] // shards[d] for d in range(nd)]
+            ok = all(blocks_c[d] >= radii[li] for d in range(nd))
+            for (hR, hP), d in zip(halos, changing):
+                ok = ok and blocks_f[d] >= hR and blocks_c[d] >= hP
+        if ok:
+            n_sh = li + 1
+            trans_meta.append(("ss", changing, tuple(halos)))
+        elif li == n_sh:  # first replicated level: gather boundary
+            trans_meta.append(("boundary", changing, ()))
+        else:
+            trans_meta.append(("rr", changing, ()))
+
+    has_dense = (config.mg_coarse_solver == "dense" and K > 0
+                 and math.prod(shapes[-1]) <= 4096
+                 and K > n_sh)  # dense inverse is replicated by construction
+
+    plan = _MGPlan(shapes=shapes, fweights=problem.weights,
+                   lweights=tuple(l.weights for l in levels),
+                   radii=radii, n_sh=n_sh, lump=lump, has_dense=has_dense,
+                   trans=tuple(trans_meta))
+
+    # ---- operand arrays + their partition specs (matching pytrees) -------
+    ddiags, invdiags, sp_dd = [], [], []
+    for li, lvl in enumerate(levels):
+        ddiags.append(lvl.data_diag.astype(dtype))
+        invdiags.append(jnp.where(lvl.diag > 0, 1.0 / lvl.diag, 1.0
+                                  ).astype(dtype))
+        sp_dd.append(spec_g if li < n_sh else rep)
+    tR, tP = [], []
+    for t, (kind, changing, halos) in enumerate(trans_meta):
+        if kind == "rr":
+            tR.append(()); tP.append(())
             continue
-        for d in range(nd):
-            term_scale[(order, d)] = (weights.model_weight(order) ** 2
-                                      * vol / factors[d] ** (2 * order))
+        S_f, S_c = shapes[t], shapes[t + 1]
+        Rrow, Prow = [], []
+        for j, d in enumerate(changing):
+            Pm = np.asarray(_resize_matrix(S_f[d], S_c[d]))  # [n_f, n_c]
+            Rm = Pm.T
+            if kind == "ss":
+                hR, hP = halos[j]
+                Rm = np.pad(Rm, ((0, 0), (hR, hR)))
+                Pm = np.pad(Pm, ((0, 0), (hP, hP)))
+            Rrow.append(jnp.asarray(Rm, jnp.float32))
+            Prow.append(jnp.asarray(Pm, jnp.float32))
+        tR.append(tuple(Rrow)); tP.append(tuple(Prow))
+    inv_c = (_coarse_dense_inverse(levels[-1]).astype(jnp.float32)
+             if has_dense else jnp.zeros((1, 1), jnp.float32))
 
-    ddiag_c = restrict_diag(cons.data_diag(problem.coeff, nd), cshape)
+    def _reps(tree):
+        return jax.tree_util.tree_map(lambda _: rep, tree)
 
-    def coarse_apply(x):
-        out = jnp.zeros_like(x)
-        for (order, d), s in term_scale.items():
-            if order == 0:
-                out = out + s * x
-            else:
-                out = out + s * axis_normal_apply(x, order, d)
-        return out + ddiag_c * x
-
-    eye = jnp.eye(n_c, dtype=jnp.float32).reshape((n_c,) + cshape)
-    A_c = jax.vmap(coarse_apply)(eye).reshape(n_c, n_c).T
-    inv = jnp.linalg.inv(A_c)
-    inv = 0.5 * (inv + inv.T)
-
-    # Global per-axis restriction matrices R_d = P_dᵀ [n_c_d, n_f_d].
-    R_global = [jnp.asarray(_resize_matrix(grid.shape[d], cshape[d]).T,
-                            jnp.float32) for d in range(nd)]
-    return inv, R_global, cshape
+    ops = (taus, fine_ddiag.astype(dtype), tuple(ddiags), tuple(invdiags),
+           tuple(tR), tuple(tP), inv_c)
+    specs = (rep, spec_g, tuple(sp_dd), tuple(sp_dd),
+             _reps(tuple(tR)), _reps(tuple(tP)), rep)
+    return plan, ops, specs
 
 
-def _coarse_fn(r_loc, inv, R_mats, cshape, mesh: Mesh):
-    """In-shard coarse correction: P A_c⁻¹ Pᵀ r (see _make_coarse_correction)."""
-    nd = len(cshape)
+def _make_mg_precond(plan: _MGPlan, ops, apply_fn, diag_l, mesh: Mesh,
+                     config: SolverConfig):
+    """r_loc -> z_loc: one symmetric distributed V-cycle inside shard_map
+    (see _make_mg_plan). ``apply_fn`` is the exact sharded fine-level apply;
+    ``diag_l`` the local block of the fine diagonal."""
+    taus, fine_dd_l, ddiags, invdiags, tR, tP, inv_c = ops
+    nd = len(plan.shapes[0])
     axis_names = tuple(mesh.axis_names[:nd])
     shards = tuple(mesh.shape[a] for a in axis_names) + (1,) * (nd - len(axis_names))
+    K = len(plan.shapes) - 1
+    nu, nu_post = config.mg_pre_smooth, config.mg_post_smooth
+    fine_inv_diag = jnp.where(diag_l > 0, 1.0 / diag_l, 1.0)
 
-    def local_R(d, n_loc):
+    def _axis_idx(d):
         if d < len(axis_names) and shards[d] > 1:
-            start = lax.axis_index(axis_names[d]).astype(jnp.int32) * n_loc
+            return lax.axis_index(axis_names[d]).astype(jnp.int32)
+        return jnp.int32(0)
+
+    def _name(d):
+        return axis_names[d] if d < len(axis_names) else None
+
+    def _sharded_smooth_apply(x, weights_l, S_l, radius):
+        if radius == 0:
+            w0 = weights_l.model_0 ** 2 if 0 in weights_l.active_orders() else 0.0
+            return w0 * x
+        x_ext = x
+        for d in range(nd):
+            x_ext = _halo_exchange(x_ext, d, radius, _name(d), shards[d])
+        return _smoothness_from_ext(x_ext, x.shape, weights_l, S_l,
+                                    axis_names, shards, radius)
+
+    def lev_apply(x, li):
+        if li == 0:
+            if plan.lump:
+                # Lumped fine smoothing operator: smoothness + diag(data).
+                rad = max([k for k in plan.fweights.active_orders() if k > 0],
+                          default=0)
+                sm = _sharded_smooth_apply(x, plan.fweights, plan.shapes[0],
+                                           rad)
+                return sm + fine_dd_l * x
+            return apply_fn(x)
+        w_l, S_l = plan.lweights[li - 1], plan.shapes[li]
+        dd = ddiags[li - 1]
+        if li <= plan.n_sh:
+            sm = _sharded_smooth_apply(x, w_l, S_l, plan.radii[li - 1])
         else:
-            start = 0
-        # Both indices int32 (under enable_x64 a Python 0 would weak-type to
-        # int64 and dynamic_slice rejects mixed index widths).
-        return lax.dynamic_slice(R_mats[d], (jnp.int32(0), jnp.int32(start)),
-                                 (cshape[d], n_loc))
+            sm = stencils.smoothness_apply(x, w_l, nd)
+        return sm + dd * x
 
-    rc = r_loc
-    for d in range(nd):
-        R_loc = local_R(d, r_loc.shape[d])
-        rc = jnp.moveaxis(
-            jnp.tensordot(R_loc, rc, axes=[[1], [d]],
-                          precision=jax.lax.Precision.HIGHEST), 0, d)
-    if axis_names:
-        rc = lax.psum(rc, axis_names)
-    zc = jnp.dot(inv, rc.ravel(), precision=jax.lax.Precision.HIGHEST,
-                 preferred_element_type=rc.dtype).reshape(cshape)
-    z = zc
-    for d in range(nd):
-        R_loc = local_R(d, r_loc.shape[d])
-        z = jnp.moveaxis(
-            jnp.tensordot(R_loc.T, z, axes=[[1], [d]],
-                          precision=jax.lax.Precision.HIGHEST), 0, d)
-    return z
+    def smooth(li, r, z, iters, from_zero):
+        inv_d = fine_inv_diag if li == 0 else invdiags[li - 1]
+        tau = taus[li].astype(r.dtype)
+        if from_zero:
+            if iters == 0:
+                return jnp.zeros_like(r)
+            z = tau * inv_d * r  # first sweep from zero: apply(0) == 0
+            iters = iters - 1
+        for _ in range(iters):
+            z = z + tau * inv_d * (r - lev_apply(z, li))
+        return z
+
+    def restrict(res, t):
+        kind, changing, halos = plan.trans[t]
+        S_f, S_c = plan.shapes[t], plan.shapes[t + 1]
+        if kind == "rr":
+            from ..multigrid import make_restrict
+            return make_restrict(S_f, S_c, res.dtype)(res)
+        out = res
+        for j, d in enumerate(changing):
+            Rm = tR[t][j].astype(res.dtype)
+            k = _axis_idx(d)
+            if kind == "ss":
+                hR = halos[j][0]
+                bf, bc = S_f[d] // shards[d], S_c[d] // shards[d]
+                out = _halo_exchange(out, d, hR, _name(d), shards[d])
+                Rl = lax.dynamic_slice(Rm, (k * bc, k * bf), (bc, bf + 2 * hR))
+            else:  # boundary: all coarse rows x my fine-column block
+                bf = S_f[d] // shards[d]
+                Rl = lax.dynamic_slice(Rm, (jnp.int32(0), k * bf),
+                                       (S_c[d], bf))
+            out = jnp.moveaxis(
+                jnp.tensordot(Rl, out, axes=[[1], [d]],
+                              precision=jax.lax.Precision.HIGHEST), 0, d)
+        if kind == "boundary":
+            # Unchanged-but-sharded axes: place the local block at its global
+            # offset so the psum assembles the full coarse residual.
+            for d in range(nd):
+                if d in changing or shards[d] <= 1:
+                    continue
+                b = S_f[d] // shards[d]
+                full_shape = list(out.shape); full_shape[d] = S_c[d]
+                start = [jnp.int32(0)] * out.ndim
+                start[d] = _axis_idx(d) * b
+                out = lax.dynamic_update_slice(
+                    jnp.zeros(full_shape, out.dtype), out, tuple(start))
+            if axis_names:
+                out = lax.psum(out, axis_names)
+        return out
+
+    def prolong_up(zc, t):
+        kind, changing, halos = plan.trans[t]
+        S_f, S_c = plan.shapes[t], plan.shapes[t + 1]
+        if kind == "rr":
+            from ..multigrid import prolong
+            return prolong(zc, S_f)
+        out = zc
+        for j, d in enumerate(changing):
+            Pm = tP[t][j].astype(zc.dtype)
+            k = _axis_idx(d)
+            if kind == "ss":
+                hP = halos[j][1]
+                bf, bc = S_f[d] // shards[d], S_c[d] // shards[d]
+                out = _halo_exchange(out, d, hP, _name(d), shards[d])
+                Pl = lax.dynamic_slice(Pm, (k * bf, k * bc), (bf, bc + 2 * hP))
+            else:  # boundary: my fine rows x all (replicated) coarse cols
+                bf = S_f[d] // shards[d]
+                Pl = lax.dynamic_slice(Pm, (k * bf, jnp.int32(0)),
+                                       (bf, S_c[d]))
+            out = jnp.moveaxis(
+                jnp.tensordot(Pl, out, axes=[[1], [d]],
+                              precision=jax.lax.Precision.HIGHEST), 0, d)
+        if kind == "boundary":
+            for d in range(nd):
+                if d in changing or shards[d] <= 1:
+                    continue
+                b = S_f[d] // shards[d]
+                out = lax.dynamic_slice_in_dim(out, _axis_idx(d) * b, b,
+                                               axis=d)
+        return out
+
+    def vcycle(r, li):
+        if li == K:
+            if li > 0 and plan.has_dense:
+                z = jnp.dot(inv_c.astype(r.dtype), r.ravel(),
+                            precision=jax.lax.Precision.HIGHEST,
+                            preferred_element_type=r.dtype)
+                return z.reshape(r.shape)
+            return smooth(li, r, r, config.mg_coarse_iters, True)
+        z = smooth(li, r, r, nu, True)
+        rc = restrict(r - lev_apply(z, li), li)
+        zc = vcycle(rc, li + 1)
+        z = z + prolong_up(zc, li)
+        return smooth(li, r, z, nu_post, False)
+
+    return lambda r: vcycle(r, 0)
 
 
-def _make_local_precond(config: SolverConfig, weights, coeff_l, b_l, diag_l,
-                        inv_c, R_mats, cshape, mesh: Mesh):
+def _make_local_precond(config: SolverConfig, plan, mg_ops, diag_l,
+                        apply_fn, mesh: Mesh):
     """Per-shard preconditioner used inside shard_map bodies: Jacobi on the
-    local diag, or the two-level additive Schwarz (block V-cycle + psum'd
-    global coarse correction) — see solve_sharded's docstring."""
+    local diag, or the distributed multigrid V-cycle (see _make_mg_plan)."""
     if config.preconditioner == "jacobi":
         inv_diag = jnp.where(diag_l > 0, 1.0 / diag_l, 1.0)
         return lambda r: inv_diag * r
     if config.preconditioner == "multigrid":
-        from ..multigrid import make_vcycle_preconditioner
-        local_problem = Problem(coeff=coeff_l, b=b_l, diag=diag_l,
-                                grid=Grid(b_l.shape), weights=weights)
-        block_v = make_vcycle_preconditioner(local_problem, config)
-        return lambda r: block_v(r) + _coarse_fn(r, inv_c, R_mats, cshape,
-                                                 mesh)
+        return _make_mg_precond(plan, mg_ops, apply_fn, diag_l, mesh, config)
     return None
 
 
@@ -366,13 +612,15 @@ def solve_sharded(
     divide evenly. Preconditioners:
 
     * "none" / "jacobi" — diag is local, trivially sharded.
-    * "multigrid" — two-level additive Schwarz: each shard runs a V-cycle on
-      its OWN block (no cross-shard communication) PLUS a global coarse-grid
-      correction (psum-assembled coarse residual, replicated dense solve) —
-      the textbook structure whose conditioning is bounded independent of
-      the shard count. The operator itself stays exact via halo exchange, so
-      the solve converges to the true global solution; both preconditioner
-      parts are SPD.
+    * "multigrid" — DISTRIBUTED geometric multigrid: the same V-cycle
+      hierarchy the unsharded solver builds, with each large level block-
+      sharded over the mesh (halo-exchanged masked smoothing, banded
+      per-axis transfer matmuls) and small levels psum-gathered onto every
+      shard down to the dense coarsest inverse (see _make_mg_plan). The
+      sharded preconditioner computes the SAME operator as the unsharded
+      one up to fp reduction order, so iteration counts are shard-count
+      independent by construction. The operator itself stays exact via halo
+      exchange, so the solve converges to the true global solution.
     """
     if config.preconditioner not in ("none", "jacobi", "multigrid"):
         raise ValueError("sharded solve supports 'none', 'jacobi' or "
@@ -394,30 +642,25 @@ def solve_sharded(
     def pdot(a, b):
         return lax.psum(jnp.sum(a * b), all_names)
 
-    use_mg = config.preconditioner == "multigrid"
-    if use_mg:
-        inv_c, R_mats, cshape = _make_coarse_correction(problem, mesh)
-    else:  # placeholders keep the shard_map signature static
-        inv_c = jnp.zeros((1, 1), jnp.float32)
-        R_mats = [jnp.zeros((1, 1), jnp.float32)] * nd
-        cshape = (1,) * nd
-
-    rep = P()  # replicated operands (coarse inverse + transfer matrices)
+    if config.preconditioner == "multigrid":
+        plan, mg_ops, mg_specs = _make_mg_plan(problem, mesh, config)
+    else:  # empty operand subtree keeps the shard_map signature static
+        plan, mg_ops, mg_specs = None, (), ()
 
     @functools.partial(
         jax.shard_map, mesh=mesh,
-        in_specs=(spec_c, spec_g, spec_g, spec_g, rep, tuple([rep] * nd)),
+        in_specs=(spec_c, spec_g, spec_g, spec_g, mg_specs),
         out_specs=(spec_g, P()),
         # check_vma=False: interpret-mode pallas_call inside shard_map trips
         # the vma checker on kernel constants (JAX suggests this workaround);
         # on-TPU kernels declare their vma via out_shape and are unaffected.
         check_vma=False,
     )
-    def body(coeff_l, b_l, diag_l, x0_l, inv_c, R_mats):
+    def body(coeff_l, b_l, diag_l, x0_l, mg_ops):
         apply_fn = make_sharded_apply(grid.shape, problem.weights, mesh,
                                       coeff_l, backend=config.backend)
-        precond = _make_local_precond(config, problem.weights, coeff_l, b_l,
-                                      diag_l, inv_c, R_mats, cshape, mesh)
+        precond = _make_local_precond(config, plan, mg_ops, diag_l,
+                                      apply_fn, mesh)
         x, info = pcg(apply_fn, b_l, x0_l, precond,
                       tol=config.tol, maxiter=config.maxiter,
                       recompute_every=config.recompute_every,
@@ -426,8 +669,7 @@ def solve_sharded(
 
     if x0 is None:
         x0 = jnp.zeros_like(problem.b)
-    return jax.jit(body)(problem.coeff, problem.b, problem.diag, x0,
-                         inv_c, tuple(R_mats))
+    return jax.jit(body)(problem.coeff, problem.b, problem.diag, x0, mg_ops)
 
 
 def solve_refined_sharded(
@@ -480,32 +722,26 @@ def solve_refined_sharded(
             return lax.psum(jnp.sum(a * b), all_names)
 
         if config.preconditioner == "multigrid":
-            inv_c, R_mats, cshape = _make_coarse_correction(p32, mesh)
+            plan, mg_ops, mg_specs = _make_mg_plan(p32, mesh, config)
         else:
-            inv_c = jnp.zeros((1, 1), jnp.float32)
-            R_mats = [jnp.zeros((1, 1), jnp.float32)] * nd
-            cshape = (1,) * nd
+            plan, mg_ops, mg_specs = None, (), ()
 
-        rep = P()
         weights = problem64.weights
         # fp32 inner solves stagnate around ~1e-4 relative (rounding floor).
         floor = max(config.tol, 1e-4)
 
         @functools.partial(
             jax.shard_map, mesh=mesh,
-            in_specs=(spec_c, spec_g, spec_c, spec_g, spec_g, rep,
-                      tuple([rep] * nd)),
+            in_specs=(spec_c, spec_g, spec_c, spec_g, spec_g, mg_specs),
             out_specs=(spec_g, P()),
             check_vma=False,  # see solve_sharded
         )
-        def body(coeff64_l, b64_l, coeff32_l, diag32_l, x0_l, inv_c, R_mats):
+        def body(coeff64_l, b64_l, coeff32_l, diag32_l, x0_l, mg_ops):
             apply64 = make_sharded_apply(grid.shape, weights, mesh, coeff64_l)
             apply32 = make_sharded_apply(grid.shape, weights, mesh, coeff32_l,
                                          backend=config.backend)
-            b32_l = b64_l.astype(jnp.float32)
-            precond = _make_local_precond(config, weights, coeff32_l, b32_l,
-                                          diag32_l, inv_c, R_mats, cshape,
-                                          mesh)
+            precond = _make_local_precond(config, plan, mg_ops, diag32_l,
+                                          apply32, mesh)
             bnorm2 = jnp.maximum(pdot(b64_l, b64_l),
                                  jnp.finfo(jnp.float64).tiny)
             tol2 = config.tol * config.tol * bnorm2
@@ -542,4 +778,4 @@ def solve_refined_sharded(
         if x0 is None:
             x0 = jnp.zeros_like(problem64.b)
         return jax.jit(body)(problem64.coeff, problem64.b, p32.coeff,
-                             p32.diag, x0, inv_c, tuple(R_mats))
+                             p32.diag, x0, mg_ops)

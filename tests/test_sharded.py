@@ -249,7 +249,7 @@ def test_sharded_rejects_indivisible(rng):
 
 
 def test_sharded_multigrid_beats_jacobi(rng):
-    """Block-Jacobi MG preconditioning converges to the same solution with
+    """Distributed-MG preconditioning converges to the same solution with
     far fewer iterations than plain Jacobi at scale."""
     grid = Grid((64, 64))
     problem = _problem_2d(rng, grid, Weights(model_2=0.3), n=120)
@@ -261,8 +261,7 @@ def test_sharded_multigrid_beats_jacobi(rng):
     x_m, info_m = solve_sharded(sp, mesh, cfg_m)
     assert bool(info_m.converged)
     assert float(info_m.rel_residual) <= 1e-4
-    # Two-level additive Schwarz (block V-cycle + global coarse correction)
-    # should slash iterations (observed ~27 vs ~235 here).
+    # Distributed MG should slash iterations (observed ~8 vs ~235 here).
     assert int(info_m.iterations) < int(info_j.iterations) // 3, (
         int(info_m.iterations), int(info_j.iterations))
     # Both solves honestly meet the 1e-4 residual; the remaining solution gap
@@ -271,3 +270,67 @@ def test_sharded_multigrid_beats_jacobi(rng):
     scale = np.abs(np.asarray(x_j)).max()
     np.testing.assert_allclose(np.asarray(x_m), np.asarray(x_j),
                                atol=2e-2 * scale)
+
+
+def test_distributed_mg_matches_unsharded(rng):
+    """Distributed-MG contract (sharded.py _make_mg_plan): the sharded
+    preconditioner is the SAME V-cycle hierarchy the unsharded solver builds,
+    so iteration counts are shard-count independent and equal the unsharded
+    count — for every mesh shape, including the (2,2)/(1,8) aspect ratios
+    that blew up 4-8x under round 1's block-Schwarz scheme."""
+    grid = Grid((64, 64))
+    problem = _problem_2d(rng, grid, Weights(model_2=0.3), n=120)
+    cfg = SolverConfig(tol=1e-4, preconditioner="multigrid", maxiter=2000,
+                       backend="xla")
+    x_ref, info_ref = solve(problem, cfg)
+    ref_iters = int(info_ref.iterations)
+
+    for mesh_shape in [(1, 1), (2, 2), (2, 4), (8, 1), (1, 8)]:
+        mesh = _mesh(mesh_shape, ("x", "y"))
+        x, info = solve_sharded(shard_problem(problem, mesh), mesh, cfg)
+        assert bool(info.converged), mesh_shape
+        assert abs(int(info.iterations) - ref_iters) <= 2, (
+            mesh_shape, int(info.iterations), ref_iters)
+        scale = np.abs(np.asarray(x_ref)).max()
+        np.testing.assert_allclose(np.asarray(x), np.asarray(x_ref),
+                                   atol=2e-3 * scale)
+
+
+def test_distributed_mg_precond_equals_unsharded_vcycle(rng):
+    """One application of the distributed V-cycle equals the unsharded
+    V-cycle to fp32 reduction noise — pins transfers, masks, taus, and the
+    replicated coarsest solve, not just end-to-end convergence."""
+    import functools
+
+    from jax.sharding import PartitionSpec as P
+
+    from field_interpolation_tpu.multigrid import make_vcycle_preconditioner
+    from field_interpolation_tpu.parallel.sharded import (
+        _grid_partition_spec, _make_mg_plan, _make_mg_precond,
+        make_sharded_apply)
+
+    grid = Grid((64, 96))
+    weights = Weights(model_1=0.1, model_2=1.0)
+    problem = _problem_2d(rng, grid, weights, n=100)
+    cfg = SolverConfig(tol=1e-4, preconditioner="multigrid", backend="xla")
+    r = jnp.asarray(rng.standard_normal(grid.shape), jnp.float32)
+
+    z_ref = make_vcycle_preconditioner(problem, cfg)(r)
+
+    mesh = _mesh((2, 4), ("x", "y"))
+    plan, mg_ops, mg_specs = _make_mg_plan(problem, mesh, cfg)
+    spec_g = _grid_partition_spec(mesh, 2)
+    spec_c = _grid_partition_spec(mesh, 2, lead_dims=1)
+
+    @functools.partial(jax.shard_map, mesh=mesh,
+                       in_specs=(spec_c, spec_g, spec_g, mg_specs),
+                       out_specs=spec_g, check_vma=False)
+    def one_vcycle(coeff_l, diag_l, r_l, mg_ops):
+        apply_fn = make_sharded_apply(grid.shape, weights, mesh, coeff_l)
+        precond = _make_mg_precond(plan, mg_ops, apply_fn, diag_l, mesh, cfg)
+        return precond(r_l)
+
+    z_sh = jax.jit(one_vcycle)(problem.coeff, problem.diag, r, mg_ops)
+    scale = np.abs(np.asarray(z_ref)).max()
+    np.testing.assert_allclose(np.asarray(z_sh), np.asarray(z_ref),
+                               atol=1e-5 * scale, rtol=1e-5)
