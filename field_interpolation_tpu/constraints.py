@@ -59,22 +59,15 @@ def offset_list(ndim: int) -> np.ndarray:
     return np.stack([g.ravel() for g in grids], axis=-1).astype(np.int32)
 
 
-def multilinear_corner_data(grid: Grid, positions: jax.Array):
-    """Per-sample cell/corner geometry for all samples at once.
+def _cell_frac(grid: Grid, positions: jax.Array):
+    """(cell [n,D] int32, frac [n,D], in_bounds [n]) for all samples.
 
-    positions: [n, D] continuous lattice coordinates.
-
-    Returns (corner_idx [n, C] int32 flat node indices,
-             row_coeffs [n, 1+D, C] (positions' dtype) — value then D gradient rows,
-             in_bounds [n] bool).
-    Row coefficient conventions per SPEC.md (exact multilinear partials).
-    """
-    D = grid.ndim
-    C = grid.num_corners
+    Every op here is EXACT in fp32 for lattice coordinates (comparisons,
+    clip, floor, and ``safe_pos - cell`` — a Sterbenz-exact subtraction for
+    any grid extent < 2^24), so the fp32 result cast to float64 equals the
+    float64-computed result bit for bit (multilinear_rows_f64 relies on
+    this to keep the f64-emulated tail minimal)."""
     shape = jnp.asarray(grid.shape, dtype=positions.dtype)
-    strides = jnp.asarray(grid.strides, dtype=jnp.int32)
-    bits = jnp.asarray(corner_bits(D))  # [C, D]
-
     finite = jnp.isfinite(positions)
     in_bounds = jnp.all(finite & (positions >= 0.0) & (positions <= shape - 1.0),
                         axis=-1)
@@ -84,6 +77,15 @@ def multilinear_corner_data(grid: Grid, positions: jax.Array):
     cell = jnp.clip(jnp.floor(safe_pos).astype(jnp.int32),
                     0, jnp.asarray(grid.shape, jnp.int32) - 2)  # [n, D]
     frac = safe_pos - cell.astype(positions.dtype)  # [n, D] in [0, 1]
+    return cell, frac, in_bounds
+
+
+def _corner_rows(grid: Grid, cell: jax.Array, frac: jax.Array):
+    """(corner_idx [n,C] int32, row_coeffs [n,1+D,C] in frac's dtype):
+    the multilinear value row + D gradient rows (SPEC.md conventions)."""
+    D = grid.ndim
+    strides = jnp.asarray(grid.strides, dtype=jnp.int32)
+    bits = jnp.asarray(corner_bits(D))  # [C, D]
 
     # Flat node index of each corner: (cell + bits) · strides.
     corner_coords = cell[:, None, :] + bits[None, :, :]         # [n, C, D]
@@ -104,7 +106,37 @@ def multilinear_corner_data(grid: Grid, positions: jax.Array):
         sign = jnp.where(bits[None, :, a] == 1, 1.0, -1.0)
         grad_rows.append(sign * partial)                        # [n, C]
     row_coeffs = jnp.stack([value_row, *grad_rows], axis=1)     # [n, 1+D, C]
-    return corner_idx, row_coeffs.astype(positions.dtype), in_bounds
+    return corner_idx, row_coeffs.astype(frac.dtype)
+
+
+def multilinear_corner_data(grid: Grid, positions: jax.Array):
+    """Per-sample cell/corner geometry for all samples at once.
+
+    positions: [n, D] continuous lattice coordinates.
+
+    Returns (corner_idx [n, C] int32 flat node indices,
+             row_coeffs [n, 1+D, C] (positions' dtype) — value then D gradient rows,
+             in_bounds [n] bool).
+    Row coefficient conventions per SPEC.md (exact multilinear partials).
+    """
+    cell, frac, in_bounds = _cell_frac(grid, positions)
+    corner_idx, row_coeffs = _corner_rows(grid, cell, frac)
+    return corner_idx, row_coeffs, in_bounds
+
+
+def multilinear_rows_f64(grid: Grid, positions: jax.Array):
+    """float64 corner rows from FP32 positions with a minimal f64 tail.
+
+    Identical values to ``multilinear_corner_data(grid, positions.astype(
+    jnp.float64))`` — the fp32 prefix (_cell_frac) is exact, so only the
+    corner-weight products need float64 — but ~3x cheaper on TPU, where
+    every software-emulated f64 op costs several fused fp32 passes
+    (measured: 0.32 -> ~0.1 ms of the 256² precise-assembly time).
+    Requires x64 enabled. Returns (corner_idx, row_coeffs64, in_bounds)."""
+    cell, frac32, in_bounds = _cell_frac(grid, positions)
+    corner_idx, row_coeffs = _corner_rows(grid, cell,
+                                          frac32.astype(jnp.float64))
+    return corner_idx, row_coeffs, in_bounds
 
 
 def _densify_matmul_2d(grid: Grid, corner_idx, M, bvec):

@@ -813,28 +813,9 @@ def fused_cg_iteration(x, r, p, rz, coeffs, sids, Rs, inv_c, level_weights,
         ro_ref[...] = r_ref[...] - alpha * Ap
         rr_ref[0, 0] = jnp.sum(ro_ref[...] * ro_ref[...])
 
-        # --- V-cycle down on the new residual ---
-        r_all = (ro_ref,) + r_scr
-        for l in range(L - 1):
-            _smooth_inplace(z_refs[l], r_all[l], c_refs[l], sid_refs[l],
-                            az_refs[l], level_weights[l], 2, nu, True)
-            _kernel_body(z_refs[l], c_refs[l], az_refs[l], level_weights[l], 2)
-            res = r_all[l][...] - az_refs[l][...]
-            R0 = R_refs[2 * l][...]
-            R1 = R_refs[2 * l + 1][...]
-            r_all[l + 1][...] = _mm(_mm(R0, res), R1.T)
-
-        # --- coarse solve (exact dense inverse, in-kernel) ---
-        z_refs[L - 1][...] = _coarse_solve_inkernel(inv_ref[...],
-                                                    r_all[L - 1][...])
-
-        # --- up-sweep ---
-        for l in range(L - 2, -1, -1):
-            R0 = R_refs[2 * l][...]
-            R1 = R_refs[2 * l + 1][...]
-            z_refs[l][...] += _mm(_mm(R0.T, z_refs[l + 1][...]), R1)
-            _smooth_inplace(z_refs[l], r_all[l], c_refs[l], sid_refs[l],
-                            az_refs[l], level_weights[l], 2, nu, False)
+        # --- V-cycle on the new residual (down + coarse + up) ---
+        _vcycle_refs(ro_ref, z_refs, r_scr, az_refs, c_refs, sid_refs,
+                     R_refs, inv_ref, level_weights, nu)
 
         # --- CG tail ---
         z0 = z_refs[0][...]
@@ -867,6 +848,133 @@ def fused_cg_iteration(x, r, p, rz, coeffs, sids, Rs, inv_c, level_weights,
     x, r, p, rz, rr = outs
     return x, r, p, rz, rr
 
+
+def _vcycle_refs(r0_ref, z_refs, r_scr, az_refs, c_refs, sid_refs, R_refs,
+                 inv_ref, level_weights, nu):
+    """Symmetric V-cycle on kernel refs: reads the residual from ``r0_ref``,
+    leaves the correction in ``z_refs[0]``. Shared by fused_cg_iteration and
+    fused_pcg_solve."""
+    L = len(c_refs)
+    r_all = (r0_ref,) + tuple(r_scr)
+    for l in range(L - 1):
+        _smooth_inplace(z_refs[l], r_all[l], c_refs[l], sid_refs[l],
+                        az_refs[l], level_weights[l], 2, nu, True)
+        _kernel_body(z_refs[l], c_refs[l], az_refs[l], level_weights[l], 2)
+        res = r_all[l][...] - az_refs[l][...]
+        R0 = R_refs[2 * l][...]
+        R1 = R_refs[2 * l + 1][...]
+        r_all[l + 1][...] = _mm(_mm(R0, res), R1.T)
+    z_refs[L - 1][...] = _coarse_solve_inkernel(inv_ref[...],
+                                                r_all[L - 1][...])
+    for l in range(L - 2, -1, -1):
+        R0 = R_refs[2 * l][...]
+        R1 = R_refs[2 * l + 1][...]
+        z_refs[l][...] += _mm(_mm(R0.T, z_refs[l + 1][...]), R1)
+        _smooth_inplace(z_refs[l], r_all[l], c_refs[l], sid_refs[l],
+                        az_refs[l], level_weights[l], 2, nu, False)
+
+
+def fused_pcg_solve(x, r, tol2, iter_budget, coeffs, sids, Rs, inv_c,
+                    level_weights, nu, interpret=False):
+    """One safeguard SEGMENT of MG-PCG entirely inside ONE Pallas kernel.
+
+    z = V(r); p = z; then a lax.while_loop of full CG iterations (operator
+    apply, α, x/r updates, V-cycle, β) until the recurrence ‖r‖² ≤ tol2 or
+    the iteration budget is exhausted — all state VMEM-resident. The
+    in-kernel loop removes the ~25 µs/iteration launch+loop overhead the
+    one-kernel-per-iteration path pays (measured 44 → ~19 µs/iteration at
+    256² on v5e). The caller (solver._pcg_fused) verifies every exit
+    against a fresh true residual and restarts on fp32 recurrence drift,
+    so the stopping guarantee is unchanged.
+
+    x, r: current iterate and its TRUE residual [n0, n1]. tol2, iter_budget:
+    (1,1) f32 / i32 scalars. Returns (x_out, iters (1,1) i32, rr (1,1) f32).
+    """
+    L = len(coeffs)
+    shapes = [c.shape[1:] for c in coeffs]
+    nc0, nc1 = shapes[-1]
+    inv4 = inv_c.reshape(nc0, nc1, nc0, nc1)
+
+    def kernel(*refs):
+        cur = [0]
+
+        def take(k):
+            out = refs[cur[0]:cur[0] + k]
+            cur[0] += k
+            return out
+
+        (tol2_ref, budget_ref) = take(2)           # SMEM scalars
+        (x_ref, r_ref) = take(2)
+        c_refs = take(L)
+        sid_refs = take(L)
+        R_refs = take(2 * (L - 1))
+        (inv_ref,) = take(1)
+        (xo_ref, ko_ref, rro_ref) = take(3)        # outputs
+        (rw_ref, p_ref) = take(2)                  # working r / search dir
+        z_refs = take(L)
+        r_scr = take(L - 1)
+        az_refs = take(L - 1)
+
+        xo_ref[...] = x_ref[...]
+        rw_ref[...] = r_ref[...]
+        _vcycle_refs(rw_ref, z_refs, r_scr, az_refs, c_refs, sid_refs,
+                     R_refs, inv_ref, level_weights, nu)
+        p_ref[...] = z_refs[0][...]
+        rz0 = jnp.sum(rw_ref[...] * z_refs[0][...])
+        rr0 = jnp.sum(rw_ref[...] * rw_ref[...])
+        tol2 = tol2_ref[0, 0]
+        budget = budget_ref[0, 0]
+
+        def cond(carry):
+            k, rz, rr = carry
+            return (rr > tol2) & (k < budget)
+
+        def body(carry):
+            k, rz, rr = carry
+            _kernel_body(p_ref, c_refs[0], az_refs[0], level_weights[0], 2)
+            Ap = az_refs[0][...]
+            pAp = jnp.sum(p_ref[...] * Ap)
+            alpha = jnp.where(pAp > 0, rz / pAp, 0.0)
+            xo_ref[...] += alpha * p_ref[...]
+            rw_ref[...] -= alpha * Ap
+            rr_new = jnp.sum(rw_ref[...] * rw_ref[...])
+            _vcycle_refs(rw_ref, z_refs, r_scr, az_refs, c_refs, sid_refs,
+                         R_refs, inv_ref, level_weights, nu)
+            z0 = z_refs[0][...]
+            rz_new = jnp.sum(rw_ref[...] * z0)
+            beta = jnp.where(rz > 0, rz_new / rz, 0.0)
+            p_ref[...] = z0 + beta * p_ref[...]
+            return k + 1, rz_new, rr_new
+
+        k, _, rr = jax.lax.while_loop(cond, body,
+                                      (jnp.int32(0), rz0, rr0))
+        ko_ref[0, 0] = k
+        rro_ref[0, 0] = rr
+
+    n_in = 2 + 2 + 2 * L + 2 * (L - 1) + 1
+    in_specs = ([pl.BlockSpec(memory_space=pltpu.SMEM)] * 2
+                + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_in - 2))
+    out_shape = (jax.ShapeDtypeStruct(shapes[0], jnp.float32),
+                 jax.ShapeDtypeStruct((1, 1), jnp.int32),
+                 jax.ShapeDtypeStruct((1, 1), jnp.float32))
+    out_specs = (pl.BlockSpec(memory_space=pltpu.VMEM),
+                 pl.BlockSpec(memory_space=pltpu.SMEM),
+                 pl.BlockSpec(memory_space=pltpu.SMEM))
+    outs = pl.pallas_call(
+        kernel,
+        out_shape=out_shape,
+        in_specs=in_specs,
+        out_specs=out_specs,
+        scratch_shapes=([pltpu.VMEM(shapes[0], jnp.float32)] * 2
+                        + [pltpu.VMEM(shapes[l], jnp.float32)
+                           for l in range(L)]
+                        + [pltpu.VMEM(shapes[l], jnp.float32)
+                           for l in range(1, L)]
+                        + [pltpu.VMEM(shapes[l], jnp.float32)
+                           for l in range(L - 1)]),
+        interpret=interpret,
+    )(tol2, iter_budget, x, r, *coeffs, *sids, *Rs, inv4)
+    return outs
 
 # ---------------------------------------------------------------------------
 # Two-axis striped kernel (3D grids whose single-axis stripes exceed VMEM,

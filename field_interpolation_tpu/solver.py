@@ -141,12 +141,13 @@ def pcg(
 
 def _pcg_fused(ops, b: jax.Array, x0: Optional[jax.Array], *, tol, maxiter,
                max_restarts, nu, interpret) -> tuple[jax.Array, SolveInfo]:
-    """Fully-fused 2D multigrid-PCG: each iteration is 2 Pallas kernels + 1
-    coarse matvec (ops.pallas_stencil.fused_cg_iteration), with the same
-    safeguarded-restart stopping rule as `pcg`. ``ops`` comes from
-    multigrid.build_fused_solver_operands."""
-    from .ops.pallas_stencil import (fused_cg_iteration, fused_normal_apply,
-                                     fused_vcycle_2d)
+    """Fully-fused 2D multigrid-PCG: each safeguard SEGMENT (V-cycle, then a
+    while-loop of complete CG iterations) runs inside ONE Pallas kernel
+    (ops.pallas_stencil.fused_pcg_solve) with all state VMEM-resident; the
+    outer loop verifies each exit against a fresh true residual and restarts
+    on fp32 recurrence drift — the same safeguarded stopping rule as `pcg`.
+    ``ops`` comes from multigrid.build_fused_solver_operands."""
+    from .ops.pallas_stencil import fused_normal_apply, fused_pcg_solve
     coeffs, sids, Rs, inv32, lw = ops
     weights = lw[0]
 
@@ -154,23 +155,10 @@ def _pcg_fused(ops, b: jax.Array, x0: Optional[jax.Array], *, tol, maxiter,
         return fused_normal_apply(v, coeffs[0], weights, 2,
                                   interpret=interpret)
 
-    def vcycle(r):
-        return fused_vcycle_2d(r, coeffs, sids, Rs, inv32, lw, nu, nu,
-                               interpret=interpret)
-
     x = jnp.zeros_like(b) if x0 is None else x0
     b_norm2 = _dot(b, b)
     tol2 = tol * tol * jnp.maximum(b_norm2, jnp.finfo(b.dtype).tiny)
-
-    def inner_cond(state):
-        _, _, _, _, rr, k = state
-        return (rr > tol2) & (k < maxiter)
-
-    def inner_body(state):
-        x, r, p, rz, _, k = state
-        x, r, p, rz, rr = fused_cg_iteration(x, r, p, rz, coeffs, sids, Rs,
-                                             inv32, lw, nu, interpret)
-        return x, r, p, rz, rr[0, 0], k + 1
+    tol2_s = jnp.reshape(tol2.astype(jnp.float32), (1, 1))
 
     def outer_cond(state):
         _, r, k, segments, progressed = state
@@ -179,12 +167,12 @@ def _pcg_fused(ops, b: jax.Array, x0: Optional[jax.Array], *, tol, maxiter,
 
     def outer_body(state):
         x, r, k, segments, _ = state
-        z = vcycle(r)
-        x, r, _, _, _, k_new = lax.while_loop(
-            inner_cond, inner_body,
-            (x, r, z, _dot(r, z).reshape(1, 1), _dot(r, r), k))
+        budget = jnp.reshape((jnp.int32(maxiter) - k), (1, 1))
+        x, iters, _ = fused_pcg_solve(x, r, tol2_s, budget, coeffs, sids,
+                                      Rs, inv32, lw, nu, interpret)
+        k_new = k + iters[0, 0]
         r = b - apply_f(x)  # verify the recurrence exit (see pcg)
-        return x, r, k_new, segments + 1, k_new > k
+        return x, r, k_new, segments + 1, iters[0, 0] > 0
 
     r0 = b - apply_f(x)
     x, r, k, _, _ = lax.while_loop(

@@ -344,3 +344,37 @@ def test_interpolate_precise_hits_1e6(rng):
     assert bool(info.converged)
     r = _rel_residual_f64(grid, weights, pos, vals, np.asarray(field, np.float64))
     assert r < 1e-6, r
+
+
+def test_precise_assembly_fast_path_bit_identical(rng):
+    """assemble_precise's fp32 fast path (minimal f64 tail,
+    constraints.multilinear_rows_f64) must produce the SAME f64 system as
+    the full-f64 path: every op dropped from f64 was exact in fp32."""
+    import jax
+
+    from field_interpolation_tpu import assemble_precise
+    from field_interpolation_tpu.sdf import _assemble_precise_impl
+    grid = Grid((32, 48))
+    weights = Weights(model_1=0.2, model_2=1.0)
+    n = 60
+    pos32 = jnp.asarray(rng.uniform(-1, 48, (n, 2)), jnp.float32)  # some OOB
+    vals32 = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    grads32 = jnp.asarray(rng.standard_normal((n, 2)), jnp.float32)
+    pw32 = jnp.asarray(rng.uniform(0.1, 2.0, n), jnp.float32)
+
+    pp_fast = assemble_precise(grid, weights, pos32, vals32, gradients=grads32,
+                               point_weights=pw32)
+    with jax.enable_x64():
+        pp_slow = _assemble_precise_impl(
+            grid, weights, pos32.astype(jnp.float64),
+            vals32.astype(jnp.float64), grads32.astype(jnp.float64),
+            pw32.astype(jnp.float64))
+
+    assert np.array_equal(np.asarray(pp_fast.corner_idx),
+                          np.asarray(pp_slow.corner_idx))
+    np.testing.assert_array_equal(np.asarray(pp_fast.rows64),
+                                  np.asarray(pp_slow.rows64))
+    np.testing.assert_array_equal(np.asarray(pp_fast.tw64),
+                                  np.asarray(pp_slow.tw64))
+    np.testing.assert_array_equal(np.asarray(pp_fast.b64),
+                                  np.asarray(pp_slow.b64))
