@@ -212,6 +212,47 @@ def scatter_corners_hilo_2d(grid: Grid, corner_idx: jax.Array,
     return out_hi.astype(values64.dtype) + out_lo.astype(values64.dtype)
 
 
+def scatter_corners_exact_2d(grid: Grid, corner_idx: jax.Array,
+                             values64: jax.Array) -> jax.Array:
+    """EXACT float64 corner scatter built from fp32 one-hot MXU matmuls.
+
+    The f64 XLA scatter costs ~0.35 ms FLAT on this backend — it dominated
+    the refined solve's one exact residual evaluation (PreciseProblem.
+    residual64). The hi/lo matmul scatter is fast but its fp32 ACCUMULATION
+    error (~2⁻²⁴ of the summed magnitudes) breaks the 8-digit residual
+    protocol. This routine removes the accumulation error entirely:
+
+    split each value onto a sequence of power-of-two integer grids, coarse
+    to fine. Pass p scatters q_p = round(rem / g_p) — integers bounded so
+    that every NODE SUM stays below 2²⁴ (|q_p| ≤ 2^b with b chosen from the
+    total addend count), which makes the fp32 matmul accumulation EXACT
+    (sums of small integers; TPU's bf16x3 HIGHEST-precision passes represent
+    the operands exactly). Each pass captures b more mantissa bits of the
+    remainder; ceil(54/b) passes cover all 53 float64 bits, so the result
+    equals the sequential f64 scatter to ≤2⁻⁵⁴ relative — at ~the cost of a
+    few hi/lo scatters (measured ~0.35 → ~0.05 ms at 256²/1k samples).
+    """
+    n_addends = values64.shape[0] * values64.shape[1]
+    # Per-pass bit budget: node sums of ≤ n_addends integers of 2^b stay
+    # below 2^23. (The gate in use_matmul_scatter keeps n small enough.)
+    b = 23 - max(1, int(np.ceil(np.log2(n_addends))))
+    passes = int(np.ceil(54.0 / b))
+    # Global power-of-two grid from the magnitude ceiling (no data-dependent
+    # host sync: scale from the running max, a traced scalar).
+    m = jnp.max(jnp.abs(values64))
+    e = jnp.ceil(jnp.log2(jnp.maximum(m, jnp.finfo(jnp.float64).tiny)))
+    g = jnp.exp2(e - b)          # coarsest grid: |round(v/g)| ≤ 2^b
+    out = jnp.zeros(grid.shape, jnp.float64)
+    rem = values64
+    for _ in range(passes):
+        q = jnp.round(rem / g)
+        rem = rem - q * g
+        s = scatter_corners_matmul_2d(grid, corner_idx, q.astype(jnp.float32))
+        out = out + s.astype(jnp.float64) * g
+        g = g * jnp.exp2(jnp.float64(-b))
+    return out
+
+
 def use_matmul_scatter(grid: Grid, n: int) -> bool:
     """The one-hot matmul costs n·num_nodes MACs per corner — a win over the
     flat-cost scatter only below this gate (2D only)."""

@@ -218,14 +218,15 @@ def _fused_vcycle_operands(problem, levels, taus, fine_inv_diag, inv_diags,
     matrices, inv32 dense coarsest inverse, level Weights). None if the
     working set exceeds the VMEM budget."""
     ndim = problem.grid.ndim
-    center = (3 ** ndim) // 2
     shapes_all = [problem.grid.shape] + [l.shape for l in levels]
+    # Fine level: full 3^D-channel data stencil; coarse levels: the data
+    # term is DIAGONAL, passed as a bare [*shape] array (the kernels take
+    # diag_data=True there — one multiply-add instead of 3^D channel ops).
     coeffs = [problem.coeff.astype(jnp.float32)]
     sids = [(taus[0] * fine_inv_diag).astype(jnp.float32)]
     lw = [problem.weights]
     for i, lvl in enumerate(levels):
-        coeffs.append(jnp.zeros((3 ** ndim,) + lvl.shape, jnp.float32
-                                ).at[center].set(lvl.data_diag))
+        coeffs.append(lvl.data_diag.astype(jnp.float32))
         sids.append((taus[i + 1] * inv_diags[i]).astype(jnp.float32))
         lw.append(lvl.weights)
     Rs = []
@@ -343,29 +344,25 @@ def make_vcycle_preconditioner(problem: Problem, config: SolverConfig,
             z = z + tau * inv_diag * (r - apply_fn(z))
         return z
 
-    # Optional fused Pallas smoothing: per level, a coefficient tensor in the
-    # kernel's (3^D, *grid) layout (coarse levels' data term is diagonal, so
-    # only the center channel is set) + τ·D⁻¹ folded together.
+    # Optional fused Pallas smoothing: per level, the data term is either the
+    # full 3^D-channel tensor (fine, exact) or a bare diagonal array (coarse
+    # levels and the lumped fine smoother) + τ·D⁻¹ folded together.
     smoothers = None
     if pallas_smooth:
         from .ops.pallas_stencil import fits_vmem, fused_smooth
-        center = (3 ** ndim) // 2
         smoothers = []
         for li in range(len(levels) + 1):
             if li == 0:
                 shape_l = problem.grid.shape
-                if lump:  # smoother must match fine_apply's lumped data term
-                    coeff_l = jnp.zeros_like(problem.coeff
-                                             ).at[center].set(fine_ddiag)
-                else:
-                    coeff_l = problem.coeff
+                diag_l = lump  # lumped fine smoother: diagonal data term
+                coeff_l = fine_ddiag if lump else problem.coeff
                 weights_l = problem.weights
                 sid = taus[0] * fine_inv_diag
             else:
                 lvl = levels[li - 1]
                 shape_l = lvl.shape
-                coeff_l = jnp.zeros((3 ** ndim,) + lvl.shape,
-                                    lvl.diag.dtype).at[center].set(lvl.data_diag)
+                diag_l = True
+                coeff_l = lvl.data_diag
                 weights_l = lvl.weights
                 sid = taus[li] * inv_diags[li - 1]
             if not fits_vmem(shape_l):
@@ -374,7 +371,7 @@ def make_vcycle_preconditioner(problem: Problem, config: SolverConfig,
             smoothers.append(functools.partial(
                 fused_smooth, coeff=coeff_l.astype(jnp.float32),
                 scaled_inv_diag=sid.astype(jnp.float32), weights=weights_l,
-                ndim=ndim, interpret=pallas_interpret))
+                ndim=ndim, interpret=pallas_interpret, diag_data=diag_l))
 
     # Coarsest-level solver. "dense": materialize the coarsest operator by
     # applying it to the identity basis ONCE at setup, invert, and each

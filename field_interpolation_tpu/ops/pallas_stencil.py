@@ -61,7 +61,13 @@ def fits_vmem(shape: tuple[int, ...], itemsize: int = 4) -> bool:
     return _HAVE_PALLAS and (n * (channels + 2) * itemsize <= _VMEM_BUDGET_BYTES)
 
 
-def _kernel_body(x_ref, c_ref, o_ref, weights: Weights, ndim: int):
+def _kernel_body(x_ref, c_ref, o_ref, weights: Weights, ndim: int,
+                 diag_data: bool = False):
+    """o <- (S + data) x. ``diag_data=True``: the data term is DIAGONAL and
+    ``c_ref`` is a [*shape] diagonal array — one multiply-add instead of the
+    3^D offset loop. Multigrid coarse levels are always in this form; the
+    offset loop there burned 3^D-1 all-zero channel ops per apply, which
+    dominated small-level cost (sequential-op latency, not bandwidth)."""
     shape = x_ref.shape
     # Initialize with the order-0 term (emitted once per node).
     if 0 in weights.active_orders():
@@ -93,8 +99,10 @@ def _kernel_body(x_ref, c_ref, o_ref, weights: Weights, ndim: int):
                 sl[ax] = slice(k, k + m)
                 o_ref[tuple(sl)] += (w2 * s) * y
 
-    # Data term: per 3^D offset, accumulate coeff·shifted-x over the static
-    # in-bounds intersection.
+    # Data term: diagonal (coarse levels) or the full 3^D offset stencil.
+    if diag_data:
+        o_ref[...] += c_ref[...] * x_ref[...]
+        return
     offsets = cons.offset_list(ndim)
     for o_idx in range(offsets.shape[0]):
         off = offsets[o_idx]
@@ -411,15 +419,16 @@ def fused_normal_apply_ext(x_ext: jax.Array, coeff: jax.Array,
 
 @functools.partial(jax.jit,
                    static_argnames=("weights", "ndim", "sweeps",
-                                    "from_zero", "interpret"))
+                                    "from_zero", "interpret", "diag_data"))
 def fused_smooth(r: jax.Array, z: jax.Array, coeff: jax.Array,
                  scaled_inv_diag: jax.Array, weights: Weights, ndim: int,
                  sweeps: int, from_zero: bool = False,
-                 interpret: bool = False) -> jax.Array:
+                 interpret: bool = False, diag_data: bool = False) -> jax.Array:
     """VMEM-resident ν-sweep damped Jacobi on (S + DᵀWD) z = r.
 
     ``scaled_inv_diag`` = τ·D⁻¹ (the damping τ is a traced value, so the
-    caller folds it in)."""
+    caller folds it in). ``diag_data=True``: coeff is a [*shape] diagonal
+    data term (see _kernel_body)."""
 
     def kernel(r_ref, z_ref, c_ref, d_ref, o_ref, az_ref):
         first = from_zero
@@ -429,7 +438,7 @@ def fused_smooth(r: jax.Array, z: jax.Array, coeff: jax.Array,
             o_ref[...] = z_ref[...]
         n = sweeps - 1 if first else sweeps
         for _ in range(n):
-            _kernel_body(o_ref, c_ref, az_ref, weights, ndim)
+            _kernel_body(o_ref, c_ref, az_ref, weights, ndim, diag_data)
             o_ref[...] = (o_ref[...]
                           + d_ref[...] * (r_ref[...] - az_ref[...]))
 
@@ -452,13 +461,13 @@ def fused_smooth(r: jax.Array, z: jax.Array, coeff: jax.Array,
 
 
 def _smooth_inplace(z_ref, r_ref, c_ref, sid_ref, az_ref, weights, ndim,
-                    sweeps, from_zero):
+                    sweeps, from_zero, diag_data=False):
     """z <- z + sid*(r - A z), `sweeps` times (sid = tau*D^-1)."""
     if from_zero:
         z_ref[...] = sid_ref[...] * r_ref[...]
         sweeps = sweeps - 1
     for _ in range(sweeps):
-        _kernel_body(z_ref, c_ref, az_ref, weights, ndim)
+        _kernel_body(z_ref, c_ref, az_ref, weights, ndim, diag_data)
         z_ref[...] = z_ref[...] + sid_ref[...] * (r_ref[...] - az_ref[...])
 
 
@@ -471,7 +480,8 @@ def _vc_down_call(r, coeffs, sids, Rs, level_weights, nu_pre, interpret):
     """Pre-smooth + residual-restrict at every level; returns the per-level
     partial solutions z_0..z_{L-2} and residuals r_1..r_{L-1}."""
     L = len(coeffs)
-    shapes = [c.shape[1:] for c in coeffs]
+    shapes = ([coeffs[0].shape[1:]]
+              + [c.shape for c in coeffs[1:]])  # coarse = diag data
 
     def kernel(*refs):
         cur = [0]
@@ -492,8 +502,10 @@ def _vc_down_call(r, coeffs, sids, Rs, level_weights, nu_pre, interpret):
 
         for l in range(L - 1):
             _smooth_inplace(z_refs[l], r_refs[l], c_refs[l], sid_refs[l],
-                            az_refs[l], level_weights[l], 2, nu_pre, True)
-            _kernel_body(z_refs[l], c_refs[l], az_refs[l], level_weights[l], 2)
+                            az_refs[l], level_weights[l], 2, nu_pre, True,
+                            l > 0)
+            _kernel_body(z_refs[l], c_refs[l], az_refs[l], level_weights[l],
+                         2, l > 0)
             res = r_refs[l][...] - az_refs[l][...]
             R0 = R_refs[2 * l][...]
             R1 = R_refs[2 * l + 1][...]
@@ -522,7 +534,8 @@ def _vc_up_call(zs, zc, rs_all, coeffs, sids, Rs, level_weights, nu_post,
                 interpret):
     """Prolong-add + post-smooth from the coarsest solution zc upward."""
     L = len(coeffs)
-    shapes = [c.shape[1:] for c in coeffs]
+    shapes = ([coeffs[0].shape[1:]]
+              + [c.shape for c in coeffs[1:]])  # coarse = diag data
 
     def kernel(*refs):
         cur = [0]
@@ -553,7 +566,8 @@ def _vc_up_call(zs, zc, rs_all, coeffs, sids, Rs, level_weights, nu_post,
             R1 = R_refs[2 * l + 1][...]
             z_refs[l][...] += _mm(_mm(R0.T, z_refs[l + 1][...]), R1)
             _smooth_inplace(z_refs[l], r_refs[l], c_refs[l], sid_refs[l],
-                            az_refs[l], level_weights[l], 2, nu_post, False)
+                            az_refs[l], level_weights[l], 2, nu_post, False,
+                            l > 0)
 
     n_in = (L - 1) + 1 + (L - 1) + L + L + 2 * (L - 1)
     return pl.pallas_call(
@@ -774,92 +788,17 @@ def _coarse_solve_inkernel(inv4, rc):
     return acc
 
 
-def fused_cg_iteration(x, r, p, rz, coeffs, sids, Rs, inv_c, level_weights,
-                       nu, interpret=False):
-    """One full PCG iteration as ONE Pallas kernel: CG head (Ap, α, x/r
-    updates, ⟨r,r⟩) + V-cycle down-sweep + in-kernel coarse solve + up-sweep
-    + CG tail (β, p update). Takes/returns the CG state (x, r, p, rz
-    [(1,1)]) plus the recurrence ⟨r,r⟩ for the stop test."""
-    L = len(coeffs)
-    shapes = [c.shape[1:] for c in coeffs]
-    nc0, nc1 = shapes[-1]
-    inv4 = inv_c.reshape(nc0, nc1, nc0, nc1)
-
-    def kernel(*refs):
-        cur = [0]
-
-        def take(k):
-            out = refs[cur[0]:cur[0] + k]
-            cur[0] += k
-            return out
-
-        (x_ref, r_ref, p_ref, rz_ref) = take(4)
-        c_refs = take(L)
-        sid_refs = take(L)
-        R_refs = take(2 * (L - 1))
-        (inv_ref,) = take(1)
-        (xo_ref, ro_ref, po_ref, rzo_ref, rr_ref) = take(5)   # outputs
-        z_refs = take(L)          # scratch: per-level z (incl. coarsest)
-        r_scr = take(L - 1)       # scratch: r_1..r_{L-1}
-        az_refs = take(L - 1)     # scratch
-
-        # --- CG head ---
-        _kernel_body(p_ref, c_refs[0], az_refs[0], level_weights[0], 2)
-        Ap = az_refs[0][...]
-        pAp = jnp.sum(p_ref[...] * Ap)
-        rz = rz_ref[0, 0]
-        alpha = jnp.where(pAp > 0, rz / pAp, 0.0)
-        xo_ref[...] = x_ref[...] + alpha * p_ref[...]
-        ro_ref[...] = r_ref[...] - alpha * Ap
-        rr_ref[0, 0] = jnp.sum(ro_ref[...] * ro_ref[...])
-
-        # --- V-cycle on the new residual (down + coarse + up) ---
-        _vcycle_refs(ro_ref, z_refs, r_scr, az_refs, c_refs, sid_refs,
-                     R_refs, inv_ref, level_weights, nu)
-
-        # --- CG tail ---
-        z0 = z_refs[0][...]
-        rz_new = jnp.sum(ro_ref[...] * z0)
-        beta = jnp.where(rz > 0, rz_new / rz, 0.0)
-        po_ref[...] = z0 + beta * p_ref[...]
-        rzo_ref[0, 0] = rz_new
-
-    n_in = 4 + 2 * L + 2 * (L - 1) + 1
-    in_specs = ([pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
-                + [pl.BlockSpec(memory_space=pltpu.SMEM)]
-                + [pl.BlockSpec(memory_space=pltpu.VMEM)] * (n_in - 4))
-    out_shape = ([jax.ShapeDtypeStruct(shapes[0], jnp.float32)] * 3
-                 + [jax.ShapeDtypeStruct((1, 1), jnp.float32)] * 2)
-    out_specs = ([pl.BlockSpec(memory_space=pltpu.VMEM)] * 3
-                 + [pl.BlockSpec(memory_space=pltpu.SMEM)] * 2)
-    outs = pl.pallas_call(
-        kernel,
-        out_shape=tuple(out_shape),
-        in_specs=in_specs,
-        out_specs=tuple(out_specs),
-        scratch_shapes=([pltpu.VMEM(shapes[l], jnp.float32)
-                         for l in range(L)]
-                        + [pltpu.VMEM(shapes[l], jnp.float32)
-                           for l in range(1, L)]
-                        + [pltpu.VMEM(shapes[l], jnp.float32)
-                           for l in range(L - 1)]),
-        interpret=interpret,
-    )(x, r, p, rz, *coeffs, *sids, *Rs, inv4)
-    x, r, p, rz, rr = outs
-    return x, r, p, rz, rr
-
-
 def _vcycle_refs(r0_ref, z_refs, r_scr, az_refs, c_refs, sid_refs, R_refs,
                  inv_ref, level_weights, nu):
     """Symmetric V-cycle on kernel refs: reads the residual from ``r0_ref``,
-    leaves the correction in ``z_refs[0]``. Shared by fused_cg_iteration and
-    fused_pcg_solve."""
+    leaves the correction in ``z_refs[0]``. Used by fused_pcg_solve."""
     L = len(c_refs)
     r_all = (r0_ref,) + tuple(r_scr)
     for l in range(L - 1):
         _smooth_inplace(z_refs[l], r_all[l], c_refs[l], sid_refs[l],
-                        az_refs[l], level_weights[l], 2, nu, True)
-        _kernel_body(z_refs[l], c_refs[l], az_refs[l], level_weights[l], 2)
+                        az_refs[l], level_weights[l], 2, nu, True, l > 0)
+        _kernel_body(z_refs[l], c_refs[l], az_refs[l], level_weights[l], 2,
+                     l > 0)
         res = r_all[l][...] - az_refs[l][...]
         R0 = R_refs[2 * l][...]
         R1 = R_refs[2 * l + 1][...]
@@ -871,7 +810,7 @@ def _vcycle_refs(r0_ref, z_refs, r_scr, az_refs, c_refs, sid_refs, R_refs,
         R1 = R_refs[2 * l + 1][...]
         z_refs[l][...] += _mm(_mm(R0.T, z_refs[l + 1][...]), R1)
         _smooth_inplace(z_refs[l], r_all[l], c_refs[l], sid_refs[l],
-                        az_refs[l], level_weights[l], 2, nu, False)
+                        az_refs[l], level_weights[l], 2, nu, False, l > 0)
 
 
 def fused_pcg_solve(x, r, tol2, iter_budget, coeffs, sids, Rs, inv_c,
@@ -891,7 +830,8 @@ def fused_pcg_solve(x, r, tol2, iter_budget, coeffs, sids, Rs, inv_c,
     (1,1) f32 / i32 scalars. Returns (x_out, iters (1,1) i32, rr (1,1) f32).
     """
     L = len(coeffs)
-    shapes = [c.shape[1:] for c in coeffs]
+    shapes = ([coeffs[0].shape[1:]]
+              + [c.shape for c in coeffs[1:]])  # coarse = diag data
     nc0, nc1 = shapes[-1]
     inv4 = inv_c.reshape(nc0, nc1, nc0, nc1)
 

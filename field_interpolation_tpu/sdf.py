@@ -126,13 +126,17 @@ class PreciseProblem:
 
     def residual64(self, x: jax.Array) -> jax.Array:
         """r = b − A x in LEAST-SQUARES form −S x + Bᵀ(t − B x), with the
-        corner scatter in EXACT float64 (the least-squares row residuals do
+        corner scatter EXACT in float64 (the least-squares row residuals do
         NOT vanish at convergence, so a fast fp32-accumulated scatter here
-        would leave a fixed ~1e-6-scale error floor — measured). Costs one
-        flat ~0.4 ms f64 scatter; solve_refined calls this ONCE per solve
-        and tracks later rounds incrementally via apply64_delta."""
+        would leave a fixed ~1e-6-scale error floor — measured).
+        solve_refined calls this ONCE per solve and tracks later rounds
+        incrementally via apply64_delta. 2D uses the exact integer-grid
+        matmul scatter (~0.05 ms vs the ~0.35 ms flat f64 XLA scatter)."""
         s = stencils.smoothness_apply(x, self.weights, self.grid.ndim)
         contrib = self._row_contrib(self.tw64 - self._rows_apply(x))
+        if cons.use_matmul_scatter(self.grid, self.corner_idx.shape[0]):
+            return cons.scatter_corners_exact_2d(
+                self.grid, self.corner_idx, contrib) - s
         d = jnp.zeros((self.grid.num_nodes,), x.dtype
                       ).at[self.corner_idx].add(contrib)
         return d.reshape(self.grid.shape) - s
@@ -226,7 +230,7 @@ def _assemble_precise_impl32(grid, weights, positions, values, gradients,
     bvec = jnp.einsum("nrc,nr->nc", rows64, tw,
                       precision=jax.lax.Precision.HIGHEST)
     if cons.use_matmul_scatter(grid, corner_idx.shape[0]):
-        b64 = cons.scatter_corners_hilo_2d(grid, corner_idx, bvec)
+        b64 = cons.scatter_corners_exact_2d(grid, corner_idx, bvec)
     else:
         b64 = jnp.zeros((grid.num_nodes,), jnp.float64
                         ).at[corner_idx].add(bvec).reshape(grid.shape)
@@ -254,11 +258,9 @@ def _assemble_precise_impl(grid, weights, positions, values, gradients,
     tw = row_t * row_w
     bvec = jnp.einsum("nrc,nr->nc", rows64, tw,
                       precision=jax.lax.Precision.HIGHEST)
-    # b64 = residual64(0); its hi/lo evaluation error (~3e-7 relative) only
-    # perturbs the first correction and the tolerance normalization — the
-    # self-scaling residual64 keeps later rounds honest (see PreciseProblem).
+    # b64 = residual64(0), scattered EXACTLY (integer-grid matmul passes).
     if cons.use_matmul_scatter(grid, corner_idx.shape[0]):
-        b64 = cons.scatter_corners_hilo_2d(grid, corner_idx, bvec)
+        b64 = cons.scatter_corners_exact_2d(grid, corner_idx, bvec)
     else:
         b64 = jnp.zeros((grid.num_nodes,), jnp.float64
                         ).at[corner_idx].add(bvec).reshape(grid.shape)

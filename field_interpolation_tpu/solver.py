@@ -325,9 +325,11 @@ def _solve_refined_impl(p64, config: SolverConfig,
     if x0 is None:
         x = jnp.zeros_like(b64)
         r = b64  # skip one f64-emulated apply: r(0) = b
+        rr = bnorm2
     else:
         x = x0.astype(jnp.float64)
         r = residual64(x)
+        rr = _dot(r, r)
 
     def inner(r, inner_tol):
         # Each round only needs to shrink the CURRENT residual down to the
@@ -348,32 +350,34 @@ def _solve_refined_impl(p64, config: SolverConfig,
                    max_restarts=1)
 
     # Round 1 (peeled): the big step from (near) zero, followed by the ONE
-    # exact-scatter residual evaluation of the solve.
-    rel0 = jnp.sqrt(_dot(r, r) / bnorm2)
+    # exact-scatter residual evaluation of the solve. ⟨r,r⟩ is carried
+    # through the loop state so each round pays exactly one f64 dot.
+    rel0 = jnp.sqrt(rr / bnorm2)
     inner_tol0 = jnp.clip(0.5 * config.tol / rel0, floor, 0.5
                           ).astype(jnp.float32)
     d32, info0 = inner(r, inner_tol0)
     x = x + d32.astype(jnp.float64)
     r = residual64(x)
+    rr = _dot(r, r)
 
     def cond(state):
-        _, r, k, iters = state
-        return (_dot(r, r) > tol2) & (k < config.refine_rounds)
+        _, _, rr, k, iters = state
+        return (rr > tol2) & (k < config.refine_rounds)
 
     def body(state):
-        x, r, k, iters = state
-        rel = jnp.sqrt(_dot(r, r) / bnorm2)
+        x, r, rr, k, iters = state
+        rel = jnp.sqrt(rr / bnorm2)
         inner_tol = jnp.clip(0.5 * config.tol / rel, floor, 0.5
                              ).astype(jnp.float32)
         d32, info = inner(r, inner_tol)
         d64 = d32.astype(jnp.float64)
         x = x + d64
         r = r - apply_delta(d64)  # incremental: scatter error ∝ ‖d‖
-        return x, r, k + 1, iters + info.iterations
+        return x, r, _dot(r, r), k + 1, iters + info.iterations
 
-    x, r, k, iters = lax.while_loop(
-        cond, body, (x, r, jnp.int32(1), info0.iterations))
-    rel = jnp.sqrt(_dot(r, r) / bnorm2)
+    x, r, rr, k, iters = lax.while_loop(
+        cond, body, (x, r, rr, jnp.int32(1), info0.iterations))
+    rel = jnp.sqrt(rr / bnorm2)
     return x, SolveInfo(iterations=iters, rel_residual=rel.astype(jnp.float32),
                         converged=rel <= config.tol)
 

@@ -73,3 +73,27 @@ def test_nonfinite_positions_dropped():
     idx, rows, inb = multilinear_corner_data(grid, pos)
     assert list(np.asarray(inb)) == [False, False, False, True]
     assert bool(jnp.all(jnp.isfinite(rows)))
+
+
+def test_exact_matmul_scatter_matches_f64_scatter(rng):
+    """scatter_corners_exact_2d: the integer-grid matmul passes must match
+    the sequential float64 scatter to ~2^-50 relative — including adversarial
+    magnitude spreads (the hi/lo scatter it replaces floors at ~3e-7)."""
+    import jax
+
+    from field_interpolation_tpu import constraints as cons
+    from field_interpolation_tpu.grid import Grid
+    grid = Grid((24, 40))
+    n = 500
+    with jax.enable_x64():
+        idx = jnp.asarray(
+            rng.integers(0, grid.num_nodes, size=(n, 4)), jnp.int32)
+        # wide magnitude spread + cancellation
+        v = jnp.asarray(rng.standard_normal((n, 4))
+                        * 10.0 ** rng.uniform(-8, 8, (n, 4)), jnp.float64)
+        want = jnp.zeros((grid.num_nodes,), jnp.float64
+                         ).at[idx].add(v).reshape(grid.shape)
+        got = cons.scatter_corners_exact_2d(grid, idx, v)
+        err = float(jnp.max(jnp.abs(got - want)))
+        scale = float(jnp.max(jnp.abs(v)))
+        assert err <= 2.0 ** -48 * scale, (err, scale)

@@ -378,3 +378,43 @@ def test_precise_assembly_fast_path_bit_identical(rng):
                                   np.asarray(pp_slow.tw64))
     np.testing.assert_array_equal(np.asarray(pp_fast.b64),
                                   np.asarray(pp_slow.b64))
+
+
+def test_pallas_smoothers_jacobi_coarsest(rng):
+    """Regression: the batched path (vmap + mg_coarse_solver='jacobi')
+    routes through fused_smooth with diagonal-data coarse levels; diag_data
+    must be a STATIC jit arg (a traced bool crashed bench config 3)."""
+    grid = Grid((64, 64))
+    weights, pos, vals = _random_problem(rng, grid, n=100)
+    problem = assemble_problem(grid, weights, jnp.asarray(pos, jnp.float32),
+                               jnp.asarray(vals, jnp.float32))
+    cfg = SolverConfig(tol=1e-4, preconditioner="multigrid",
+                       mg_coarse_solver="jacobi", backend="pallas",
+                       maxiter=2000)
+    x_p, info = solve(problem, cfg)
+    assert bool(info.converged)
+    x_x, _ = solve(problem, SolverConfig(tol=1e-4, preconditioner="multigrid",
+                                         mg_coarse_solver="jacobi",
+                                         backend="xla", maxiter=2000))
+    scale = np.abs(np.asarray(x_x)).max()
+    np.testing.assert_allclose(np.asarray(x_p), np.asarray(x_x),
+                               atol=5e-3 * scale)
+
+
+def test_batched_solve_vmap_pallas(rng):
+    """vmap'ed solve with the batch module's config (jacobi coarsest) +
+    pallas backend — the exact bench-config-3 shape, on CPU interpret."""
+    from field_interpolation_tpu.batch import (assemble_batch,
+                                               sdf_from_points_batch)
+    gridb = Grid((32, 32))
+    B, n = 4, 50
+    theta = rng.uniform(0, 2 * np.pi, (B, n))
+    nrm = np.stack([np.cos(theta), np.sin(theta)], -1).astype(np.float32)
+    pts = (15.5 + 8.0 * nrm).astype(np.float32)
+    cfg = SolverConfig(tol=1e-4, preconditioner="multigrid",
+                       backend="pallas", maxiter=2000)
+    xb, infob = sdf_from_points_batch(gridb, Weights(model_2=0.3),
+                                      jnp.asarray(pts), jnp.asarray(nrm),
+                                      config=cfg)
+    assert xb.shape == (B, 32, 32)
+    assert bool(jnp.all(infob.converged))
