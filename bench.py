@@ -217,9 +217,11 @@ def main():
     cfg = fi.SolverConfig(tol=1e-6, preconditioner="multigrid", maxiter=2000)
 
     # Marginal throughput: the ~33 ms tunnel dispatch round trip is shared by
-    # the whole chain, so larger K isolates per-field cost better (K=48
-    # still carried ~0.7 ms/field of dispatch).
-    K = 96
+    # the whole chain, so larger K isolates per-field cost better (measured:
+    # an empty chain costs ~33 ms flat regardless of K — pure dispatch). At
+    # K=768 the dispatch share is ~0.04 ms/field; the true marginal is also
+    # reported below by differencing a consume-inputs-only chain.
+    K = 768
     ptss = np.stack([make_circle_cloud(n_points, grid.shape, seed=s)[0]
                      for s in range(K)])
     nrms = np.stack([make_circle_cloud(n_points, grid.shape, seed=s)[1]
@@ -255,8 +257,22 @@ def main():
     rel = np.asarray(out[2])
     conv = np.asarray(out[3])
     ms = total * 1e3 / K
+
+    # True marginal (dispatch-free): difference out a chain that only
+    # consumes the inputs (measures the flat tunnel round trip).
+    @jax.jit
+    def consume_only(ptss, nrms):
+        def one(c, pn):
+            return c + (jnp.sum(pn[0]) + jnp.sum(pn[1])) * 1e-9, 0
+        return jax.lax.scan(one, jnp.float32(0), (ptss, nrms))[0]
+
+    float(consume_only(pts_d, nrm_d))
+    t0 = time.perf_counter()
+    float(consume_only(pts_d, nrm_d))
+    t_disp = time.perf_counter() - t0
     log(f"{K} pipelines: {total * 1e3:.1f} ms total -> {ms:.2f} ms/field "
-        f"({1e3 / ms:.1f} solves/sec/chip)")
+        f"({1e3 / ms:.1f} solves/sec/chip); dispatch-free marginal "
+        f"{(total - t_disp) * 1e3 / K:.2f} ms/field")
     log(f"iters: min={iters.min()} max={iters.max()}; "
         f"max rel_res={rel.max():.2e}; all converged={bool(conv.all())}")
 
