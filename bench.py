@@ -252,6 +252,8 @@ def main():
         float(jnp.sum(out[0]))  # forces full sync through the tunnel
         totals.append(time.perf_counter() - t0)
     total = min(totals)  # best-of-3: tunnel jitter is ~±5%
+    log(f"per-rep ms/field: min={min(totals)*1e3/K:.2f} "
+        f"median={sorted(totals)[1]*1e3/K:.2f} max={max(totals)*1e3/K:.2f}")
 
     iters = np.asarray(out[1])
     rel = np.asarray(out[2])
