@@ -234,8 +234,13 @@ def scatter_corners_exact_2d(grid: Grid, corner_idx: jax.Array,
     """
     n_addends = values64.shape[0] * values64.shape[1]
     # Per-pass bit budget: node sums of ≤ n_addends integers of 2^b stay
-    # below 2^23. (The gate in use_matmul_scatter keeps n small enough.)
+    # below 2^23. Degenerate budgets (≥ 2^22 addends — tiny grids with huge
+    # sample counts can pass the use_matmul_scatter flop gate) fall back to
+    # the plain exact f64 scatter rather than crash or lose bits.
     b = 23 - max(1, int(np.ceil(np.log2(n_addends))))
+    if b < 6:
+        return (jnp.zeros((grid.num_nodes,), jnp.float64)
+                .at[corner_idx].add(values64).reshape(grid.shape))
     passes = int(np.ceil(54.0 / b))
     # Global power-of-two grid from the magnitude ceiling (no data-dependent
     # host sync: scale from the running max, a traced scalar).

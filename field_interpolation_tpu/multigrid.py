@@ -256,6 +256,39 @@ def _rho_bound(row_abs: jax.Array, diag: jax.Array) -> jax.Array:
     return jnp.max(row_abs / safe)
 
 
+def build_smoothing_setup(problem: Problem, levels: list, config) -> tuple:
+    """(lump, fine_ddiag, taus): the fine-level lumping decision and the
+    per-level Gershgorin damping steps τ_l = 2·mg_omega/ρ̂(D_l⁻¹A_l).
+
+    The ONE implementation shared by the XLA V-cycle
+    (make_vcycle_preconditioner), the fused-kernel operands
+    (build_fused_solver_operands), and the distributed sharded multigrid
+    (parallel.sharded._make_mg_plan) — the sharded ≡ unsharded
+    iteration-count contract depends on these staying identical."""
+    from .constraints import data_diag as _data_diag
+    ndim = problem.grid.ndim
+    lump = config.mg_fine_operator == "lumped"
+    if config.mg_fine_operator == "auto":
+        from .ops.pallas_stencil import fits_vmem
+        lump = ndim >= 3 and not fits_vmem(problem.grid.shape)
+    fine_ddiag = _data_diag(problem.coeff, ndim)
+    base = stencils.smoothness_row_abs_sum(problem.grid.shape,
+                                           problem.weights,
+                                           problem.diag.dtype)
+    if lump:
+        fine_rowabs = base + fine_ddiag
+    else:
+        fine_rowabs = base + jnp.sum(jnp.abs(problem.coeff),
+                                     axis=-(ndim + 1))
+    taus = [2.0 * config.mg_omega / _rho_bound(fine_rowabs, problem.diag)]
+    for lvl in levels:
+        rowabs = (stencils.smoothness_row_abs_sum(lvl.shape, lvl.weights,
+                                                  lvl.diag.dtype)
+                  + lvl.data_diag)
+        taus.append(2.0 * config.mg_omega / _rho_bound(rowabs, lvl.diag))
+    return lump, fine_ddiag, taus
+
+
 def _fused_vcycle_operands(problem, levels, taus, fine_inv_diag, inv_diags,
                            coarse_dense):
     """Materialize the per-level operands the fused 2D V-cycle/CG kernels
@@ -311,15 +344,9 @@ def build_fused_solver_operands(problem: Problem, config: SolverConfig):
         return None
     fine_inv_diag = jnp.where(problem.diag > 0, 1.0 / problem.diag, 1.0)
     inv_diags = [jnp.where(l.diag > 0, 1.0 / l.diag, 1.0) for l in levels]
-    ndim = problem.grid.ndim
-    fine_rowabs = (stencils.smoothness_row_abs_sum(
-        problem.grid.shape, problem.weights, problem.diag.dtype)
-        + jnp.sum(jnp.abs(problem.coeff), axis=-(ndim + 1)))
-    taus = [2.0 * config.mg_omega / _rho_bound(fine_rowabs, problem.diag)]
-    for lvl in levels:
-        rowabs = (stencils.smoothness_row_abs_sum(lvl.shape, lvl.weights,
-                                                  lvl.diag.dtype) + lvl.data_diag)
-        taus.append(2.0 * config.mg_omega / _rho_bound(rowabs, lvl.diag))
+    lump, _, taus = build_smoothing_setup(problem, levels, config)
+    if lump:
+        return None  # fused kernels smooth with the full data stencil
     coarse_dense = _coarse_dense_inverse(levels[-1])
     return _fused_vcycle_operands(problem, levels, taus, fine_inv_diag,
                                   inv_diags, coarse_dense)
@@ -348,15 +375,13 @@ def make_vcycle_preconditioner(problem: Problem, config: SolverConfig,
     # ~12 unfused XLA shift passes a lumped smoothing sweep costs — measured
     # 4096²: lumped 1091 ms/41 iters vs exact 726 ms/26 iters, while 3D 128³
     # went 88 → 53 ms from lumping away the 27-channel traffic.)
-    lump = config.mg_fine_operator == "lumped"
-    if config.mg_fine_operator == "auto":
-        from .ops.pallas_stencil import fits_vmem
-        lump = (problem.grid.ndim >= 3
-                and not fits_vmem(problem.grid.shape))
+    # Lumping rule + damped-Jacobi steps: damped Jacobi diverges unless
+    # τ·ρ(D⁻¹A) < 2, and for biharmonic-heavy operators ρ(D⁻¹A) ≈ 2.7 — a
+    # fixed τ=0.8 blows up. build_smoothing_setup auto-scales each level's
+    # damping so τ·ρ ≤ 2·mg_omega (< 2) from closed-form row-abs sums, and
+    # is SHARED with the fused and sharded paths.
+    lump, fine_ddiag, taus = build_smoothing_setup(problem, levels, config)
     if lump:
-        from .constraints import data_diag as _dd
-        fine_ddiag = _dd(problem.coeff, ndim)
-
         def fine_apply(x):
             return (stencils.smoothness_apply(x, problem.weights, ndim)
                     + fine_ddiag * x)
@@ -365,24 +390,6 @@ def make_vcycle_preconditioner(problem: Problem, config: SolverConfig,
 
     fine_inv_diag = jnp.where(problem.diag > 0, 1.0 / problem.diag, 1.0)
     inv_diags = [jnp.where(l.diag > 0, 1.0 / l.diag, 1.0) for l in levels]
-
-    # Damped Jacobi diverges unless τ·ρ(D⁻¹A) < 2, and for biharmonic-heavy
-    # operators ρ(D⁻¹A) ≈ 2.7 — a fixed τ=0.8 blows up. Auto-scale each
-    # level's damping so τ·ρ ≤ 2·mg_omega (< 2), using closed-form row-abs
-    # sums for the bound.
-    if lump:
-        fine_rowabs = (stencils.smoothness_row_abs_sum(
-            problem.grid.shape, problem.weights, problem.diag.dtype)
-            + fine_ddiag)
-    else:
-        fine_rowabs = (stencils.smoothness_row_abs_sum(
-            problem.grid.shape, problem.weights, problem.diag.dtype)
-            + jnp.sum(jnp.abs(problem.coeff), axis=-(ndim + 1)))
-    taus = [2.0 * config.mg_omega / _rho_bound(fine_rowabs, problem.diag)]
-    for lvl in levels:
-        rowabs = (stencils.smoothness_row_abs_sum(lvl.shape, lvl.weights,
-                                                  lvl.diag.dtype) + lvl.data_diag)
-        taus.append(2.0 * config.mg_omega / _rho_bound(rowabs, lvl.diag))
 
     def smooth(apply_fn, inv_diag, tau, r, z, iters):
         for _ in range(iters):

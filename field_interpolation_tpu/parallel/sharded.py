@@ -175,9 +175,6 @@ def make_sharded_apply(grid_shape: tuple[int, ...], weights, mesh: Mesh,
     shards = tuple(mesh.shape[a] for a in axis_names) + (1,) * (ndim - len(axis_names))
     radius = max(stencils.max_stencil_radius(weights), 1)
 
-    smooth_orders = [k for k in weights.active_orders() if k > 0]
-    w0_2 = weights.model_0 ** 2 if 0 in weights.active_orders() else 0.0
-
     use_pallas = False
     stripe_ext = None
     pallas_interpret = False
@@ -323,9 +320,8 @@ def _make_mg_plan(problem: Problem, mesh: Mesh, config: SolverConfig):
     """
     import math
 
-    from ..constraints import data_diag as _data_diag
     from ..multigrid import (_coarse_dense_inverse, _resize_matrix,
-                             _rho_bound, build_levels)
+                             build_levels, build_smoothing_setup)
 
     grid = problem.grid
     nd = grid.ndim
@@ -339,27 +335,9 @@ def _make_mg_plan(problem: Problem, mesh: Mesh, config: SolverConfig):
     K = len(levels)
     shapes = (grid.shape,) + tuple(l.shape for l in levels)
 
-    # Fine-level lumping: same rule as make_vcycle_preconditioner("auto").
-    lump = config.mg_fine_operator == "lumped"
-    if config.mg_fine_operator == "auto":
-        from ..ops.pallas_stencil import fits_vmem
-        lump = nd >= 3 and not fits_vmem(grid.shape)
-    fine_ddiag = _data_diag(problem.coeff, nd)
-
-    # Damping taus — identical formulas to the unsharded V-cycle.
-    if lump:
-        fine_rowabs = (stencils.smoothness_row_abs_sum(
-            grid.shape, problem.weights, dtype) + fine_ddiag)
-    else:
-        fine_rowabs = (stencils.smoothness_row_abs_sum(
-            grid.shape, problem.weights, dtype)
-            + jnp.sum(jnp.abs(problem.coeff), axis=0))
-    taus = [2.0 * config.mg_omega / _rho_bound(fine_rowabs, problem.diag)]
-    for lvl in levels:
-        rowabs = (stencils.smoothness_row_abs_sum(lvl.shape, lvl.weights,
-                                                  lvl.diag.dtype)
-                  + lvl.data_diag)
-        taus.append(2.0 * config.mg_omega / _rho_bound(rowabs, lvl.diag))
+    # Lumping rule + damping taus: the SAME build_smoothing_setup call the
+    # unsharded V-cycle makes (iteration-count parity by construction).
+    lump, fine_ddiag, taus = build_smoothing_setup(problem, levels, config)
     taus = jnp.stack([t.astype(jnp.float32) for t in taus])
 
     radii = tuple(max([k for k in l.weights.active_orders() if k > 0],

@@ -97,3 +97,24 @@ def test_exact_matmul_scatter_matches_f64_scatter(rng):
         err = float(jnp.max(jnp.abs(got - want)))
         scale = float(jnp.max(jnp.abs(v)))
         assert err <= 2.0 ** -48 * scale, (err, scale)
+
+
+def test_exact_matmul_scatter_degenerate_bit_budget(rng):
+    """Regression (code review): huge addend counts that still pass the
+    use_matmul_scatter flop gate must fall back to the plain f64 scatter
+    instead of crashing (b=0 -> ZeroDivisionError) or silently zeroing."""
+    import jax
+
+    from field_interpolation_tpu import constraints as cons
+    from field_interpolation_tpu.grid import Grid
+    grid = Grid((4, 8))
+    n = 2_000_000  # n_addends = 8e6 -> per-pass bit budget < 6
+    with jax.enable_x64():
+        idx = jnp.asarray(rng.integers(0, grid.num_nodes, size=(n, 4)),
+                          jnp.int32)
+        v = jnp.asarray(rng.standard_normal((n, 4)), jnp.float64)
+        want = jnp.zeros((grid.num_nodes,), jnp.float64
+                         ).at[idx].add(v).reshape(grid.shape)
+        got = cons.scatter_corners_exact_2d(grid, idx, v)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   rtol=1e-12)

@@ -334,3 +334,52 @@ def test_distributed_mg_precond_equals_unsharded_vcycle(rng):
     scale = np.abs(np.asarray(z_ref)).max()
     np.testing.assert_allclose(np.asarray(z_sh), np.asarray(z_ref),
                                atol=1e-5 * scale, rtol=1e-5)
+
+
+def test_distributed_mg_sharded_coarse_level(rng):
+    """Exercise the 'ss' (sharded coarse level) machinery: a 256x128 grid on
+    a (2,4) mesh keeps its first coarse level (128x64 = 8192 > 4096 nodes)
+    SHARDED, so the banded transfer matmuls, per-level halo smoothing, and
+    the psum gather at the sharded->replicated boundary all run — the
+    smaller grids elsewhere in this file replicate every coarse level."""
+    import functools
+
+    from field_interpolation_tpu.multigrid import make_vcycle_preconditioner
+    from field_interpolation_tpu.parallel.sharded import (
+        _grid_partition_spec, _make_mg_plan, _make_mg_precond,
+        make_sharded_apply)
+
+    grid = Grid((256, 128))
+    weights = Weights(model_2=0.3)
+    problem = _problem_2d(rng, grid, weights, n=300)
+    cfg = SolverConfig(tol=1e-4, preconditioner="multigrid", backend="xla")
+    mesh = _mesh((2, 4), ("x", "y"))
+
+    plan, mg_ops, mg_specs = _make_mg_plan(problem, mesh, cfg)
+    assert plan.n_sh >= 1, plan  # the point of this test
+    assert plan.trans[0][0] == "ss", plan.trans
+
+    r = jnp.asarray(rng.standard_normal(grid.shape), jnp.float32)
+    z_ref = make_vcycle_preconditioner(problem, cfg)(r)
+
+    spec_g = _grid_partition_spec(mesh, 2)
+    spec_c = _grid_partition_spec(mesh, 2, lead_dims=1)
+
+    @functools.partial(jax.shard_map, mesh=mesh,
+                       in_specs=(spec_c, spec_g, spec_g, mg_specs),
+                       out_specs=spec_g, check_vma=False)
+    def one_vcycle(coeff_l, diag_l, r_l, mg_ops):
+        apply_fn = make_sharded_apply(grid.shape, weights, mesh, coeff_l)
+        precond = _make_mg_precond(plan, mg_ops, apply_fn, diag_l, mesh, cfg)
+        return precond(r_l)
+
+    z_sh = jax.jit(one_vcycle)(problem.coeff, problem.diag, r, mg_ops)
+    scale = np.abs(np.asarray(z_ref)).max()
+    np.testing.assert_allclose(np.asarray(z_sh), np.asarray(z_ref),
+                               atol=2e-5 * scale, rtol=1e-5)
+
+    # End-to-end: sharded solve matches unsharded iteration count.
+    x_ref, info_ref = solve(problem, cfg)
+    x_sh, info_sh = solve_sharded(shard_problem(problem, mesh), mesh, cfg)
+    assert bool(info_sh.converged)
+    assert abs(int(info_sh.iterations) - int(info_ref.iterations)) <= 2
