@@ -21,6 +21,24 @@ from .solver import SolveInfo, solve
 from .weights import SolverConfig, Weights
 
 
+def _dense_coarsest_ok(grid: Grid, config: SolverConfig, B: int) -> bool:
+    """Keep the dense-inverse coarsest MG level under vmap when the batched
+    per-lane inverses [B, n_c, n_c] stay small (≤768 MB fp32 — covers
+    B=1024 lanes of a 16² coarsest) — one batched matvec per V-cycle
+    instead of mg_coarse_iters Jacobi sweeps. Larger coarsest levels fall
+    back to the iterative coarsest: the inverses OOM (n_c=1024 at B=1024 is
+    4 GB)."""
+    import math
+
+    from .multigrid import level_shapes
+    shapes = level_shapes(grid.shape, config.mg_min_size,
+                          config.mg_coarse_solver)
+    if not shapes:
+        return False
+    n_c = math.prod(shapes[-1])
+    return B * n_c * n_c * 4 <= 768 * 1024 * 1024
+
+
 @functools.partial(jax.jit, static_argnames=("grid", "weights", "with_gradient"))
 def assemble_batch(
     grid: Grid,
@@ -55,12 +73,15 @@ def solve_batch(
 ) -> tuple[jax.Array, SolveInfo]:
     """Solve B problems in one compiled batched PCG (BASELINE config 3).
 
-    The multigrid coarsest level falls back to iterative Jacobi here: the
-    dense-inverse coarsest solver would build one n_c×n_c inverse PER LANE
-    under vmap (4 GB of HBM at B=1024, n_c=1024 — measured OOM)."""
+    The dense-inverse multigrid coarsest level stays (one batched matvec per
+    V-cycle) while the per-lane inverses fit (_dense_coarsest_ok); beyond
+    that it falls back to iterative Jacobi (4 GB of HBM at B=1024, n_c=1024
+    — measured OOM)."""
     import dataclasses
     if (config.preconditioner == "multigrid"
-            and config.mg_coarse_solver == "dense"):
+            and config.mg_coarse_solver == "dense"
+            and not _dense_coarsest_ok(problems.grid, config,
+                                       problems.b.shape[0])):
         config = dataclasses.replace(config, mg_coarse_solver="jacobi")
 
     def one(problem, x0_1):
@@ -76,8 +97,8 @@ def solve_refined_batch(
 ) -> tuple[jax.Array, SolveInfo]:
     """Batched mixed-precision solves to TRUE ≤tol residual: vmap of
     solver.solve_refined over problems assembled in float64 (e.g. via
-    vmap'ed assemble under jax.enable_x64). Dense coarsest MG falls back to
-    Jacobi for the same per-lane-inverse reason as solve_batch. Backend is
+    vmap'ed assemble under jax.enable_x64). Dense coarsest MG stays while
+    the batched per-lane inverses fit (see solve_batch). Backend is
     forced to XLA: vmap-of-pallas_call under jax.enable_x64 emits int64 grid
     indices that Mosaic cannot legalize (measured on v5e; the unbatched
     refined path and the non-x64 batched path keep their kernels)."""
@@ -85,8 +106,12 @@ def solve_refined_batch(
 
     from .solver import _solve_refined_impl
     config = dataclasses.replace(config, backend="xla")
+    nb = jax.tree_util.tree_leaves(problems64)[0].shape[0]
     if (config.preconditioner == "multigrid"
-            and config.mg_coarse_solver == "dense"):
+            and config.mg_coarse_solver == "dense"
+            and not _dense_coarsest_ok(
+                problems64.grid if hasattr(problems64, "grid")
+                else problems64.p32.grid, config, nb)):
         config = dataclasses.replace(config, mg_coarse_solver="jacobi")
     with jax.enable_x64():
         return jax.vmap(lambda p: _solve_refined_impl(p, config, None))(

@@ -217,6 +217,34 @@ def _coarsen_weights(weights: Weights, ndim: int) -> Weights:
     return weights.scaled_model(factors)
 
 
+@functools.lru_cache(maxsize=None)
+def level_shapes(fine_shape: tuple[int, ...],
+                 mg_min_size: int, mg_coarse_solver: str) -> tuple:
+    """Shapes of the coarse hierarchy below ``fine_shape`` (shape-only view
+    of build_levels — lets callers size the coarsest level without a
+    Problem, e.g. batch.solve_batch's dense-coarsest memory gate)."""
+    import math
+    shapes = []
+    shape = fine_shape
+
+    def needs_coarsening(shape):
+        if min(shape) > mg_min_size:
+            return True
+        # With the dense coarsest solver, keep coarsening until the inverse
+        # is cheap: jnp.linalg.inv is per-problem setup cost, and LU of 4096
+        # nodes (3D 16³) measures ~55 ms on v5e — more than the whole solve.
+        # 1024 nodes keeps 2D at 16² (256 nodes) and pushes 3D to 8³ (512).
+        return mg_coarse_solver == "dense" and math.prod(shape) > 1024
+
+    while needs_coarsening(shape):
+        coarse = Grid(shape).coarsen()
+        if coarse.shape == shape:
+            break
+        shapes.append(coarse.shape)
+        shape = coarse.shape
+    return tuple(shapes)
+
+
 def build_levels(problem: Problem, config: SolverConfig) -> list[_Level]:
     """Static level hierarchy below the fine problem (level 0 IS the problem)."""
     levels: list[_Level] = []
@@ -224,29 +252,14 @@ def build_levels(problem: Problem, config: SolverConfig) -> list[_Level]:
     weights = problem.weights
     from .constraints import data_diag as _data_diag
     ddiag = _data_diag(problem.coeff, grid.ndim)
-    shape = grid.shape
 
-    def needs_coarsening(shape):
-        import math
-        if min(shape) > config.mg_min_size:
-            return True
-        # With the dense coarsest solver, keep coarsening until the inverse
-        # is cheap: jnp.linalg.inv is per-problem setup cost, and LU of 4096
-        # nodes (3D 16³) measures ~55 ms on v5e — more than the whole solve.
-        # 1024 nodes keeps 2D at 16² (256 nodes) and pushes 3D to 8³ (512).
-        return (config.mg_coarse_solver == "dense"
-                and math.prod(shape) > 1024)
-
-    while needs_coarsening(shape):
-        coarse = Grid(shape).coarsen()
-        if coarse.shape == shape:
-            break
+    for coarse_shape in level_shapes(grid.shape, config.mg_min_size,
+                                     config.mg_coarse_solver):
         weights = _coarsen_weights(weights, grid.ndim)
-        ddiag = restrict_diag(ddiag, coarse.shape)
-        diag = stencils.smoothness_diag(coarse.shape, weights).astype(ddiag.dtype) + ddiag
-        levels.append(_Level(shape=coarse.shape, weights=weights,
+        ddiag = restrict_diag(ddiag, coarse_shape)
+        diag = stencils.smoothness_diag(coarse_shape, weights).astype(ddiag.dtype) + ddiag
+        levels.append(_Level(shape=coarse_shape, weights=weights,
                              data_diag=ddiag, diag=diag))
-        shape = coarse.shape
     return levels
 
 
