@@ -156,15 +156,6 @@ class PreciseProblem:
                        ).at[self.corner_idx].add(contrib)
         return s + dd.reshape(self.grid.shape)
 
-    def apply64(self, x: jax.Array) -> jax.Array:
-        """A x with the exact f64 scatter."""
-        s = stencils.smoothness_apply(x, self.weights, self.grid.ndim)
-        contrib = self._row_contrib(self._rows_apply(x))
-        d = jnp.zeros((self.grid.num_nodes,), x.dtype
-                      ).at[self.corner_idx].add(contrib)
-        return s + d.reshape(self.grid.shape)
-
-
 def assemble_precise(
     grid: Grid,
     weights: Weights,
