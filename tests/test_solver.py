@@ -418,3 +418,39 @@ def test_batched_solve_vmap_pallas(rng):
                                       config=cfg)
     assert xb.shape == (B, 32, 32)
     assert bool(jnp.all(infob.converged))
+
+
+def test_precise_path_handles_nonfinite_and_oob(rng):
+    """NaN/Inf positions and out-of-bounds samples must be dropped by the
+    precise (fast f64-tail) assembly exactly like the fp32 path: finite
+    field, honest convergence, and equality with the same problem minus the
+    bad samples."""
+    from field_interpolation_tpu import (assemble_precise, solve_refined)
+    grid = Grid((32, 32))
+    weights = Weights(model_2=0.3)
+    n = 60
+    pos = rng.uniform(0, 31, (n, 2)).astype(np.float32)
+    vals = rng.standard_normal(n).astype(np.float32)
+    bad = pos.copy()
+    bad[0] = [np.nan, 3.0]
+    bad[1] = [np.inf, 5.0]
+    bad[2] = [-7.0, 2.0]     # out of bounds
+    cfg = SolverConfig(tol=1e-6, preconditioner="multigrid", maxiter=4000,
+                       backend="xla")
+
+    p_bad = assemble_precise(grid, weights, jnp.asarray(bad),
+                             jnp.asarray(vals))
+    x_bad, info_bad = solve_refined(p_bad, cfg)
+    assert bool(jnp.all(jnp.isfinite(x_bad)))
+    assert bool(info_bad.converged)
+
+    # Same system with the bad samples' weights zeroed explicitly.
+    pw = np.ones(n, np.float32)
+    pw[:3] = 0.0
+    safe = bad.copy()
+    safe[:3] = 1.0
+    p_ref = assemble_precise(grid, weights, jnp.asarray(safe),
+                             jnp.asarray(vals), point_weights=jnp.asarray(pw))
+    x_ref, _ = solve_refined(p_ref, cfg)
+    np.testing.assert_allclose(np.asarray(x_bad), np.asarray(x_ref),
+                               atol=1e-5 * np.abs(np.asarray(x_ref)).max())
