@@ -106,3 +106,31 @@ def test_samples_at_domain_edges(rng):
     pos = np.array([[4.0, 4.0], [0.0, 4.0], [4.0, 0.0], [0.0, 0.0], [4.0, 2.5]])
     vals = np.array([1.0, 2.0, 3.0, 4.0, 5.0])
     _check(grid, weights, pos, vals)
+
+
+def test_randomized_configurations_match_explicit(rng):
+    """Property sweep: 12 seeded random configurations (dims 1-3, random
+    order-weight mixes, random data weights / point weights / sample mixes
+    incl. OOB) — broader than the fixed cases above; any convention drift
+    between the vectorized assembly and the oracle shows up here."""
+    for trial in range(12):
+        D = int(rng.integers(1, 4))
+        shape = tuple(int(rng.integers(5, 12)) for _ in range(D))
+        grid = Grid(shape)
+        w = Weights(
+            model_0=float(rng.uniform(0, 0.5)) * int(rng.integers(0, 2)),
+            model_1=float(rng.uniform(0, 1.0)) * int(rng.integers(0, 2)),
+            model_2=float(rng.uniform(0, 1.5)) * int(rng.integers(0, 2)),
+            model_3=float(rng.uniform(0, 0.5)) * int(rng.integers(0, 2)),
+            data_pos=float(rng.uniform(0.2, 2.0)),
+            data_gradient=float(rng.uniform(0.2, 2.0)),
+        )
+        n = int(rng.integers(5, 25))
+        pos = rng.uniform(-1.5, np.asarray(shape) + 0.5, size=(n, D))
+        vals = rng.standard_normal(n)
+        grads = (rng.standard_normal((n, D))
+                 if rng.integers(0, 2) else None)
+        pw = (rng.uniform(0, 2, n).astype(np.float32)
+              if rng.integers(0, 2) else None)
+        _check(grid, w, pos.astype(np.float32), vals.astype(np.float32),
+               grads if grads is None else grads.astype(np.float32), pw)
