@@ -414,7 +414,10 @@ def make_vcycle_preconditioner(problem: Problem, config: SolverConfig,
     # levels and the lumped fine smoother) + τ·D⁻¹ folded together.
     smoothers = None
     if pallas_smooth:
-        from .ops.pallas_stencil import fits_vmem, fused_smooth
+        from .ops.pallas_stencil import (fits_vmem, fused_smooth,
+                                         fused_smooth_striped,
+                                         pick_stripe_smooth)
+        from .stencils import max_stencil_radius
         smoothers = []
         for li in range(len(levels) + 1):
             if li == 0:
@@ -431,7 +434,24 @@ def make_vcycle_preconditioner(problem: Problem, config: SolverConfig,
                 weights_l = lvl.weights
                 sid = taus[li] * inv_diags[li - 1]
             if not fits_vmem(shape_l):
-                smoothers.append(None)  # fall back to XLA sweeps
+                # Beyond-VMEM fine level (2D, full data stencil): multi-sweep
+                # striped smoother — the 9-channel coeff block is read once
+                # per smoothing phase instead of once per sweep.
+                T = None
+                if li == 0 and ndim == 2 and not lump:
+                    rad = max(max_stencil_radius(weights_l), 1)
+                    T = pick_stripe_smooth(shape_l, rad,
+                                           max(config.mg_pre_smooth,
+                                               config.mg_post_smooth))
+                if T is not None:
+                    smoothers.append(functools.partial(
+                        fused_smooth_striped,
+                        coeff=coeff_l.astype(jnp.float32),
+                        scaled_inv_diag=sid.astype(jnp.float32),
+                        weights=weights_l, stripe=T,
+                        interpret=pallas_interpret))
+                else:
+                    smoothers.append(None)  # fall back to XLA sweeps
                 continue
             smoothers.append(functools.partial(
                 fused_smooth, coeff=coeff_l.astype(jnp.float32),

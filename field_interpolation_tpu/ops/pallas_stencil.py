@@ -452,6 +452,170 @@ def fused_smooth(r: jax.Array, z: jax.Array, coeff: jax.Array,
     )(r, z, coeff, scaled_inv_diag)
 
 
+def pick_stripe_smooth(shape: tuple[int, ...], radius: int, sweeps: int,
+                       itemsize: int = 4) -> int | None:
+    """Stripe T for the multi-sweep striped smoother, or None (2D only).
+    Needs halo h=8 ≥ sweeps·radius and the FULL per-program footprint in
+    VMEM: scratch (z/r/sid/coeff/az ext copies, 13·E rows) plus the input
+    blocks DOUBLE-BUFFERED by Mosaic (2·(12·E + T) rows) — measured: the
+    optimistic scratch-only estimate OOM'd the 16 MB scoped vmem at
+    n1=4096 (27.75 MB actual). Full-width rows make every halo row cost
+    n1·4 bytes, so this kernel only pays off on narrower grids (n1 ≤ ~1024,
+    e.g. tall beyond-VMEM blocks); wider grids keep per-sweep kernels."""
+    if len(shape) != 2 or sweeps * radius > _H_EXT:
+        return None
+    n0, n1 = shape
+    h = _H_EXT
+    for T in (64, 32, 16, 8):
+        if n0 % T or T % h:
+            continue
+        E = T + 2 * h
+        est = (13 * E + 2 * (12 * E + T) + T) * n1 * itemsize
+        if est <= 14 * 1024 * 1024:
+            return T
+    return None
+
+
+def _apply_rows_ext(z_ref, c_ref, az_ref, weights: Weights, lo: int, hi: int,
+                    row0_g, n0_global: int):
+    """az[lo:hi) = (S + data) z on rows [lo, hi) of the halo-extended block
+    (full width along axis 1), with axis-0 validity masks in GLOBAL
+    coordinates (row0_g = global row of ext row 0). Reads z on
+    [lo-radius, hi+radius) — the caller guarantees that range is valid."""
+    nrows = hi - lo
+    n1 = z_ref.shape[1]
+
+    if 0 in weights.active_orders():
+        az_ref[lo:hi] = (weights.model_0 ** 2) * z_ref[lo:hi]
+    else:
+        az_ref[lo:hi] = jnp.zeros((nrows, n1), az_ref.dtype)
+
+    for order in weights.active_orders():
+        if order == 0:
+            continue
+        taps = stencils.STENCIL_TAPS[order]
+        L = len(taps)
+        w2 = weights.model_weight(order) ** 2
+
+        # Axis 0: windows w in [lo-L+1, hi) feed output rows [lo, hi).
+        if n0_global >= L:
+            w0 = lo - (L - 1)
+            m = (hi - w0)
+            y = None
+            for k, s in enumerate(taps):
+                t = s * z_ref[w0 + k:w0 + k + m]
+                y = t if y is None else y + t
+            win_g = (row0_g + w0) + jax.lax.broadcasted_iota(
+                jnp.int32, y.shape, 0)
+            y = jnp.where((win_g >= 0) & (win_g <= n0_global - L), y, 0.0)
+            for k, s in enumerate(taps):
+                # az[lo+t] += s_k * y[lo+t-k] -> y array index (L-1)-k+t
+                az_ref[lo:hi] += (w2 * s) * y[(L - 1) - k:(L - 1) - k + nrows]
+
+        # Axis 1: full extent (array edges ARE the global edges).
+        if n1 >= L:
+            m = n1 - L + 1
+            y = None
+            for k, s in enumerate(taps):
+                t = s * z_ref[lo:hi, k:k + m]
+                y = t if y is None else y + t
+            for k, s in enumerate(taps):
+                az_ref[lo:hi, k:k + m] += (w2 * s) * y
+
+    # Data term: coeff rows are aligned with ext rows; out-of-grid pairs
+    # have zero coefficients, so shifted reads need no masking.
+    offsets = cons.offset_list(2)
+    for o_idx in range(offsets.shape[0]):
+        o0, o1 = int(offsets[o_idx][0]), int(offsets[o_idx][1])
+        d1 = slice(max(0, -o1), n1 - max(0, o1))
+        s1 = slice(max(0, o1), n1 - max(0, -o1))
+        az_ref[lo:hi, d1] += (c_ref[o_idx, lo:hi, d1]
+                              * z_ref[lo + o0:hi + o0, s1])
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("weights", "sweeps", "from_zero",
+                                    "stripe", "interpret"))
+def fused_smooth_striped(r: jax.Array, z: jax.Array, coeff: jax.Array,
+                         scaled_inv_diag: jax.Array, weights: Weights,
+                         sweeps: int, stripe: int, from_zero: bool = False,
+                         interpret: bool = False) -> jax.Array:
+    """Multi-sweep damped Jacobi for beyond-VMEM 2D grids: ALL ``sweeps``
+    run per stripe with the 9-channel coeff block read ONCE (the per-sweep
+    one-kernel path re-reads it every sweep — coeff traffic dominates, so
+    this cuts a smoothing phase's HBM bytes by ~sweeps/1.5x; measured
+    0.94 ms/sweep -> ~0.55 ms/sweep-equivalent at 4096²).
+
+    Each sweep shrinks the valid margin by the operator radius; the halo
+    (h=8) covers sweeps·radius, and margin rows are recomputed identically
+    by neighboring stripes (same inputs, same formula), so stripes agree.
+    Out-of-global halo garbage is neutralized by the global axis-0 window
+    masks and the zero data coefficients (the striped-apply argument)."""
+    from .. import stencils as _st
+    T = stripe
+    h = _H_EXT
+    rho = max(_st.max_stencil_radius(weights), 1)
+    n0, n1 = z.shape
+    n_blocks = n0 // T
+    hb = T // h
+
+    def prev_map(i):
+        return (jnp.maximum(i * hb - 1, 0), 0)
+
+    def next_map(i):
+        return (jnp.minimum(i * hb + hb, n_blocks * hb - 1), 0)
+
+    def cprev_map(i):
+        return (0, jnp.maximum(i * hb - 1, 0), 0)
+
+    def cnext_map(i):
+        return (0, jnp.minimum(i * hb + hb, n_blocks * hb - 1), 0)
+
+    def kernel(rp, rc, rn, zp, zc, zn, sp, sc, sn, cp, cc, cn, o_ref,
+               z_s, r_s, s_s, c_s, az_s):
+        i = pl.program_id(0)
+        row0_g = i * T - h
+        r_s[...] = jnp.concatenate([rp[...], rc[...], rn[...]], axis=0)
+        s_s[...] = jnp.concatenate([sp[...], sc[...], sn[...]], axis=0)
+        c_s[...] = jnp.concatenate([cp[...], cc[...], cn[...]], axis=1)
+        n_sw = sweeps
+        if from_zero:
+            z_s[...] = s_s[...] * r_s[...]
+            n_sw = sweeps - 1
+        else:
+            z_s[...] = jnp.concatenate([zp[...], zc[...], zn[...]], axis=0)
+        for s in range(1, n_sw + 1):
+            m_out = (n_sw - s) * rho
+            lo, hi = h - m_out, h + T + m_out
+            _apply_rows_ext(z_s, c_s, az_s, weights, lo, hi, row0_g, n0)
+            z_s[lo:hi] = (z_s[lo:hi]
+                          + s_s[lo:hi] * (r_s[lo:hi] - az_s[lo:hi]))
+        o_ref[...] = z_s[h:h + T]
+
+    blk_h = pl.BlockSpec((h, n1), prev_map, memory_space=pltpu.VMEM)
+    blk_hn = pl.BlockSpec((h, n1), next_map, memory_space=pltpu.VMEM)
+    blk_T = pl.BlockSpec((T, n1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    in_specs = [blk_h, blk_T, blk_hn] * 3 + [
+        pl.BlockSpec((9, h, n1), cprev_map, memory_space=pltpu.VMEM),
+        pl.BlockSpec((9, T, n1), lambda i: (0, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((9, h, n1), cnext_map, memory_space=pltpu.VMEM),
+    ]
+    E = T + 2 * h
+    return pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        out_shape=jax.ShapeDtypeStruct(z.shape, z.dtype),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((T, n1), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((E, n1), jnp.float32)] * 3
+                       + [pltpu.VMEM((9, E, n1), jnp.float32),
+                          pltpu.VMEM((E, n1), jnp.float32)],
+        interpret=interpret,
+    )(r, r, r, z, z, z, scaled_inv_diag, scaled_inv_diag, scaled_inv_diag,
+      coeff, coeff, coeff)
+
 # ---------------------------------------------------------------------------
 # Whole-V-cycle kernels (2D, VMEM-fit problems): the entire symmetric V-cycle
 # runs as TWO Pallas calls (down-sweep and up-sweep) plus one XLA dense

@@ -454,3 +454,31 @@ def test_precise_path_handles_nonfinite_and_oob(rng):
     x_ref, _ = solve_refined(p_ref, cfg)
     np.testing.assert_allclose(np.asarray(x_bad), np.asarray(x_ref),
                                atol=1e-5 * np.abs(np.asarray(x_ref)).max())
+
+
+@pytest.mark.parametrize("from_zero", [True, False])
+def test_fused_smooth_striped_matches_sweeps(rng, from_zero):
+    """Multi-sweep striped smoother ≡ plain damped-Jacobi sweeps (interpret
+    mode), including global-edge masks and stripe-margin recomputation."""
+    from field_interpolation_tpu.ops.pallas_stencil import fused_smooth_striped
+    grid = Grid((32, 96))
+    weights = Weights(model_1=0.2, model_2=1.0)
+    w, pos, vals = _random_problem(rng, grid, n=80)
+    problem = assemble_problem(grid, weights, jnp.asarray(pos, jnp.float32),
+                               jnp.asarray(vals, jnp.float32))
+    r = jnp.asarray(rng.standard_normal(grid.shape), jnp.float32)
+    z0 = jnp.asarray(rng.standard_normal(grid.shape), jnp.float32)
+    sid = jnp.where(problem.diag > 0, 0.3 / problem.diag, 1.0
+                    ).astype(jnp.float32)
+    nu = 3
+
+    z_ref = jnp.zeros_like(r) if from_zero else z0
+    for _ in range(nu):
+        z_ref = z_ref + sid * (r - problem.apply(z_ref))
+
+    z_got = fused_smooth_striped(r, z0, problem.coeff.astype(jnp.float32),
+                                 sid, weights, sweeps=nu, stripe=8,
+                                 from_zero=from_zero, interpret=True)
+    scale = float(jnp.max(jnp.abs(z_ref)))
+    np.testing.assert_allclose(np.asarray(z_got), np.asarray(z_ref),
+                               atol=2e-6 * max(scale, 1.0), rtol=2e-6)
