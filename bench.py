@@ -107,18 +107,42 @@ def secondary_configs(log):
     rng = np.random.default_rng(1)
 
     # Config 1: 64x64, 100 value constraints, plain CG (fp32 floor tol).
+    # Reported as a MARGINAL (chained pipelines, dispatch differenced out):
+    # the single-shot number is ~33 ms of tunnel round trip + ~1 ms compute,
+    # which measures the rig, not the solver (VERDICT r2 weak #7).
     grid = fi.Grid((64, 64))
-    pos = jnp.asarray(rng.uniform(0, 63, (100, 2)), jnp.float32)
-    vals = jnp.asarray(rng.standard_normal(100), jnp.float32)
+    K1 = 32
+    pos1 = jnp.asarray(rng.uniform(0, 63, (K1, 100, 2)), jnp.float32)
+    vals1 = jnp.asarray(rng.standard_normal((K1, 100)), jnp.float32)
     cfg1 = fi.SolverConfig(tol=5e-4, preconditioner="none", maxiter=20000)
-    for _ in range(2):
-        t0 = time.perf_counter()
-        x, info = fi.interpolate(grid, fi.Weights(model_1=0.1, model_2=1.0),
-                                 pos, vals, config=cfg1)
-        float(jnp.sum(x))
-        t1 = (time.perf_counter() - t0) * 1e3
-    log(f"[config 1] 64x64 plain CG: {t1:.1f} ms single-shot, "
-        f"iters={int(info.iterations)} conv={bool(info.converged)}")
+    w1 = fi.Weights(model_1=0.1, model_2=1.0)
+
+    @jax.jit
+    def chain1(pos1, vals1):
+        def one(c, pv):
+            x, info = fi.interpolate(grid, w1, pv[0], pv[1], config=cfg1)
+            return c + jnp.sum(x) * 1e-6, (info.iterations, info.converged)
+        return jax.lax.scan(one, jnp.float32(0), (pos1, vals1))
+
+    @jax.jit
+    def consume1(pos1, vals1):
+        def one(c, pv):
+            return c + (jnp.sum(pv[0]) + jnp.sum(pv[1])) * 1e-9, 0
+        return jax.lax.scan(one, jnp.float32(0), (pos1, vals1))[0]
+
+    float(chain1(pos1, vals1)[0])   # warmup (compile)
+    float(consume1(pos1, vals1))
+    t0 = time.perf_counter()
+    c1, (it1, cv1) = chain1(pos1, vals1)
+    float(c1)
+    t_chain = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    float(consume1(pos1, vals1))
+    t_disp1 = time.perf_counter() - t0
+    t1 = (t_chain - t_disp1) * 1e3 / K1
+    log(f"[config 1] 64x64 plain CG: {t1:.2f} ms/solve marginal "
+        f"({K1} pipelined; single-shot is tunnel-dominated), "
+        f"iters max={int(jnp.max(it1))} all conv={bool(jnp.all(cv1))}")
 
     # Config 3: batched 1024 fields of 128² (vmap throughput mode).
     B, n = 1024, 256

@@ -9,7 +9,8 @@ import numpy as np
 import jax.numpy as jnp
 
 import field_interpolation_tpu as fi
-from field_interpolation_tpu.utils import record_solve, timed_block
+from field_interpolation_tpu.utils import (record_solve, timed_block,
+                                           vcycle_applies_per_iteration)
 
 
 def main():
@@ -30,6 +31,8 @@ def main():
                                          jnp.asarray(nrm), config=cfg, x0=x)
             x.block_until_ready()
         record_solve(grid, info, t["ms"], preconditioner="multigrid",
+                     applies_per_iteration=vcycle_applies_per_iteration(
+                         cfg.mg_pre_smooth, cfg.mg_post_smooth),
                      stream=sys.stdout, frame=frame, warm=frame > 0)
     print("OK")
 

@@ -3,6 +3,7 @@ from .observe import (
     roofline_bytes_per_apply,
     record_solve,
     timed_block,
+    vcycle_applies_per_iteration,
 )
 
 __all__ = [
@@ -10,4 +11,5 @@ __all__ = [
     "roofline_bytes_per_apply",
     "record_solve",
     "timed_block",
+    "vcycle_applies_per_iteration",
 ]

@@ -82,6 +82,7 @@ def test_batched_value_interpolation(rng):
     assert bool(jnp.all(infob.converged))
 
 
+@pytest.mark.slow
 def test_sdf_precise_batch_matches_unbatched(rng):
     """The one-call batched precise driver hits TRUE 1e-6 per lane and
     matches the unbatched precise driver (VERDICT r1 item 9)."""
@@ -105,6 +106,7 @@ def test_sdf_precise_batch_matches_unbatched(rng):
                                    atol=1e-4 * np.abs(np.asarray(xi)).max())
 
 
+@pytest.mark.slow
 def test_batched_refined_to_1e6(rng):
     """Batched TRUE-1e-6 mode: vmap of the mixed-precision refined solve."""
     import jax

@@ -108,6 +108,7 @@ def test_samples_at_domain_edges(rng):
     _check(grid, weights, pos, vals)
 
 
+@pytest.mark.slow
 def test_randomized_configurations_match_explicit(rng):
     """Property sweep: 12 seeded random configurations (dims 1-3, random
     order-weight mixes, random data weights / point weights / sample mixes

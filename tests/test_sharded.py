@@ -13,6 +13,9 @@ from field_interpolation_tpu.operators import assemble
 from field_interpolation_tpu.parallel import shard_problem, solve_sharded
 
 
+pytestmark = pytest.mark.slow  # heavy end-to-end sharded solves (quick tier: -m 'not slow')
+
+
 def _mesh(shape, names):
     devs = np.array(jax.devices()[: int(np.prod(shape))]).reshape(shape)
     return Mesh(devs, axis_names=names)

@@ -140,6 +140,7 @@ def test_safeguarded_exit_restarts_on_drift(rng):
     assert abs(true_rel(x8) - float(info8.rel_residual)) < 0.3 * tol
 
 
+@pytest.mark.slow
 def test_converged_flag_is_true_residual_1024(rng):
     """VERDICT r1 item 2: on a 1024²-class problem the converged flag must be
     backed by a float64-verified TRUE residual ≤ tol (the recurrence exit
@@ -209,6 +210,7 @@ def test_fused_pcg_refined_to_1e6(rng):
     assert r < 1e-6, r
 
 
+@pytest.mark.slow
 def test_refined_reported_residual_is_true_256(rng):
     """The bench-config problem (256², 1k oriented points): the SELF-reported
     relative residual must agree with the external f64-oracle residual to
@@ -457,6 +459,7 @@ def test_precise_path_handles_nonfinite_and_oob(rng):
 
 
 @pytest.mark.parametrize("from_zero", [True, False])
+@pytest.mark.slow
 def test_fused_smooth_striped_matches_sweeps(rng, from_zero):
     """Multi-sweep striped smoother ≡ plain damped-Jacobi sweeps (interpret
     mode), including global-edge masks and stripe-margin recomputation."""
