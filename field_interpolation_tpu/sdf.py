@@ -130,12 +130,13 @@ class PreciseProblem:
         NOT vanish at convergence, so a fast fp32-accumulated scatter here
         would leave a fixed ~1e-6-scale error floor — measured).
         solve_refined calls this ONCE per solve and tracks later rounds
-        incrementally via apply64_delta. 2D uses the exact integer-grid
-        matmul scatter (~0.05 ms vs the ~0.35 ms flat f64 XLA scatter)."""
+        incrementally via apply64_delta. Gated 2D/3D problems use the exact
+        integer-grid matmul scatter (~0.05 ms vs the ~0.35 ms flat f64 XLA
+        scatter; see constraints.use_matmul_scatter for the 3D gates)."""
         s = stencils.smoothness_apply(x, self.weights, self.grid.ndim)
         contrib = self._row_contrib(self.tw64 - self._rows_apply(x))
         if cons.use_matmul_scatter(self.grid, self.corner_idx.shape[0]):
-            return cons.scatter_corners_exact_2d(
+            return cons.scatter_corners_exact(
                 self.grid, self.corner_idx, contrib) - s
         d = jnp.zeros((self.grid.num_nodes,), x.dtype
                       ).at[self.corner_idx].add(contrib)
@@ -150,7 +151,7 @@ class PreciseProblem:
         s = stencils.smoothness_apply(d, self.weights, self.grid.ndim)
         contrib = self._row_contrib(self._rows_apply(d))
         if cons.use_matmul_scatter(self.grid, self.corner_idx.shape[0]):
-            return s + cons.scatter_corners_hilo_2d(self.grid,
+            return s + cons.scatter_corners_hilo(self.grid,
                                                     self.corner_idx, contrib)
         dd = jnp.zeros((self.grid.num_nodes,), d.dtype
                        ).at[self.corner_idx].add(contrib)
@@ -221,7 +222,7 @@ def _assemble_precise_impl32(grid, weights, positions, values, gradients,
     bvec = jnp.einsum("nrc,nr->nc", rows64, tw,
                       precision=jax.lax.Precision.HIGHEST)
     if cons.use_matmul_scatter(grid, corner_idx.shape[0]):
-        b64 = cons.scatter_corners_exact_2d(grid, corner_idx, bvec)
+        b64 = cons.scatter_corners_exact(grid, corner_idx, bvec)
     else:
         b64 = jnp.zeros((grid.num_nodes,), jnp.float64
                         ).at[corner_idx].add(bvec).reshape(grid.shape)
@@ -251,7 +252,7 @@ def _assemble_precise_impl(grid, weights, positions, values, gradients,
                       precision=jax.lax.Precision.HIGHEST)
     # b64 = residual64(0), scattered EXACTLY (integer-grid matmul passes).
     if cons.use_matmul_scatter(grid, corner_idx.shape[0]):
-        b64 = cons.scatter_corners_exact_2d(grid, corner_idx, bvec)
+        b64 = cons.scatter_corners_exact(grid, corner_idx, bvec)
     else:
         b64 = jnp.zeros((grid.num_nodes,), jnp.float64
                         ).at[corner_idx].add(bvec).reshape(grid.shape)

@@ -118,3 +118,38 @@ def test_exact_matmul_scatter_degenerate_bit_budget(rng):
         got = cons.scatter_corners_exact_2d(grid, idx, v)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=1e-12)
+
+
+def test_exact_matmul_scatter_3d_matches_f64_scatter(rng):
+    """VERDICT r2 item 7: the integer-grid exact scatter generalizes to 3D
+    (leading-axis rows x flattened-rest columns). Bit-parity vs the
+    sequential float64 scatter at a gated size."""
+    import jax
+
+    from field_interpolation_tpu import constraints as cons
+    from field_interpolation_tpu.grid import Grid
+    grid = Grid((24, 16, 40))
+    n = 800
+    assert cons.use_matmul_scatter(grid, n)
+    with jax.enable_x64():
+        idx = jnp.asarray(
+            rng.integers(0, grid.num_nodes, size=(n, 8)), jnp.int32)
+        v = jnp.asarray(rng.standard_normal((n, 8))
+                        * 10.0 ** rng.uniform(-8, 8, (n, 8)), jnp.float64)
+        want = jnp.zeros((grid.num_nodes,), jnp.float64
+                         ).at[idx].add(v).reshape(grid.shape)
+        got = cons.scatter_corners_exact(grid, idx, v)
+        err = float(jnp.max(jnp.abs(got - want)))
+        scale = float(jnp.max(jnp.abs(v)))
+        assert err <= 2.0 ** -48 * scale, (err, scale)
+
+
+def test_matmul_scatter_gates():
+    """use_matmul_scatter: 3D allowed only under BOTH the flop gate and the
+    one-hot transient-memory gate; large 3D keeps the flat scatter."""
+    from field_interpolation_tpu import constraints as cons
+    from field_interpolation_tpu.grid import Grid
+    assert cons.use_matmul_scatter(Grid((256, 256)), 1000)
+    assert cons.use_matmul_scatter(Grid((24, 16, 40)), 800)
+    assert not cons.use_matmul_scatter(Grid((128, 128, 128)), 4000)
+    assert not cons.use_matmul_scatter(Grid((64,)), 10)

@@ -1,6 +1,7 @@
 """Solver tests (SURVEY.md §4): end-to-end field equality vs the float64
 oracle (Eigen stand-in), warm start, preconditioner behavior."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -485,3 +486,27 @@ def test_fused_smooth_striped_matches_sweeps(rng, from_zero):
     scale = float(jnp.max(jnp.abs(z_ref)))
     np.testing.assert_allclose(np.asarray(z_got), np.asarray(z_ref),
                                atol=2e-6 * max(scale, 1.0), rtol=2e-6)
+
+
+def test_precise_3d_gated_matmul_scatter(rng):
+    """3D refined solve at a size inside the matmul-scatter gates: the
+    PreciseProblem residual path must route through the exact integer-grid
+    scatter (VERDICT r2 item 7) and still hit TRUE 1e-6."""
+    from field_interpolation_tpu import constraints as cons
+    from field_interpolation_tpu.sdf import assemble_precise
+    from field_interpolation_tpu.solver import solve_refined
+    grid = Grid((24, 16, 40))
+    n = 300
+    assert cons.use_matmul_scatter(grid, n)
+    pos = jnp.asarray(rng.uniform(0, np.asarray(grid.shape) - 1, (n, 3)),
+                      jnp.float32)
+    vals = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    pp = assemble_precise(grid, Weights(model_2=0.5), pos, vals)
+    cfg = SolverConfig(tol=1e-6, preconditioner="multigrid", backend="xla")
+    x, info = solve_refined(pp, cfg)
+    assert bool(info.converged)
+    # independent f64 check of the reported residual
+    with jax.enable_x64():
+        r = pp.residual64(x)
+        rel = float(jnp.sqrt(jnp.sum(r * r) / jnp.sum(pp.b64 * pp.b64)))
+    assert rel <= 1.1e-6
