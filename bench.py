@@ -226,6 +226,45 @@ def secondary_configs(log):
         log("WARNING: config 5 missed its tol (safeguarded flag is "
             "true-residual-verified)")
 
+    # Config 5 proxy at the HONEST bar (VERDICT r2 item 3): the same 4096²
+    # problem to a TRUE f64-verified 1e-6 relative residual (striped fp32
+    # kernels inside the refinement loop; f64 tail on XLA).
+    cfg5p = fi.SolverConfig(tol=1e-6, preconditioner="multigrid",
+                            backend="auto", maxiter=500)
+    for _ in range(2):
+        t0 = time.perf_counter()
+        x5p, info5p = fi.sdf_from_points_precise(
+            grid5, fi.Weights(model_2=0.3), jnp.asarray(pts5),
+            jnp.asarray(nrm5), config=cfg5p)
+        float(jnp.sum(x5p.astype(jnp.float32)))
+        t5p = (time.perf_counter() - t0) * 1e3
+    log(f"[config 5 proxy @1e-6] 4096² SDF to TRUE 1e-6: {t5p:.0f} ms "
+        f"assemble+solve, iters={int(info5p.iterations)} "
+        f"rel={float(info5p.rel_residual):.1e} conv={bool(info5p.converged)}")
+
+    # Config 5 proxy, 3D half (VERDICT r2 item 2): 256³ SDF through the
+    # two-axis striped Pallas apply + lumped-fine MG (the multi-chip 3D
+    # target run on one chip; dryrun_multichip covers the sharded path).
+    grid53 = fi.Grid((256, 256, 256))
+    m3 = 100_000
+    u3 = rng.standard_normal((m3, 3))
+    u3 /= np.linalg.norm(u3, axis=1, keepdims=True)
+    pts53 = (127.5 + 89.6 * u3).astype(np.float32)
+    cfg53 = fi.SolverConfig(tol=1e-4, preconditioner="multigrid",
+                            backend="auto", maxiter=500)
+    for _ in range(2):
+        t0 = time.perf_counter()
+        x53, info53 = fi.sdf_from_points(grid53, fi.Weights(model_2=0.3),
+                                         jnp.asarray(pts53),
+                                         jnp.asarray(u3.astype(np.float32)),
+                                         config=cfg53)
+        float(jnp.sum(x53))
+        t53 = (time.perf_counter() - t0) * 1e3
+    log(f"[config 5 proxy 3D] 256³ SDF ({m3} pts, two-axis striped Pallas + "
+        f"lumped MG): {t53:.0f} ms assemble+solve, "
+        f"iters={int(info53.iterations)} "
+        f"rel={float(info53.rel_residual):.1e} conv={bool(info53.converged)}")
+
 
 def main():
     import jax

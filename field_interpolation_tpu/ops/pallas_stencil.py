@@ -69,6 +69,13 @@ def _wspec(shape: tuple[int, ...], space=None):
                         else pltpu.VMEM)
 
 
+def _z():
+    """int32 zero for index-map components (see _wspec: literal-int map
+    components trace to i64 under jax.enable_x64, which Mosaic rejects —
+    every striped kernel's maps must use this for their constant axes)."""
+    return jnp.int32(0)
+
+
 def fits_vmem(shape: tuple[int, ...], itemsize: int = 4) -> bool:
     import math
     if len(shape) < 2:
@@ -297,13 +304,17 @@ def fused_normal_apply_striped(x: jax.Array, coeff: jax.Array,
     n_blocks = x.shape[0] // T
     hb = T // h  # halo-block index units
     rest = x.shape[1:]
-    rest_zeros = (0,) * len(rest)
+    # Index maps construct their int32 zeros INSIDE the function: zeros
+    # created at closure scope are traced constants, which pallas index maps
+    # must not capture ("must not capture constants", measured).
+    def rest_zeros():
+        return tuple(_z() for _ in rest)
 
     def prev_map(i):
-        return (jnp.maximum(i * hb - 1, 0),) + rest_zeros
+        return (jnp.maximum(i * hb - 1, 0),) + rest_zeros()
 
     def next_map(i):
-        return (jnp.minimum(i * hb + hb, n_blocks * hb - 1),) + rest_zeros
+        return (jnp.minimum(i * hb + hb, n_blocks * hb - 1),) + rest_zeros()
 
     def kernel(prev_ref, cur_ref, next_ref, c_ref, o_ref):
         _striped_kernel_body(prev_ref, cur_ref, next_ref, c_ref, o_ref,
@@ -315,14 +326,14 @@ def fused_normal_apply_striped(x: jax.Array, coeff: jax.Array,
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         in_specs=[
             pl.BlockSpec((h,) + rest, prev_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((T,) + rest, lambda i: (i,) + rest_zeros,
+            pl.BlockSpec((T,) + rest, lambda i: (i,) + rest_zeros(),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((h,) + rest, next_map, memory_space=pltpu.VMEM),
             pl.BlockSpec((3 ** ndim, T) + rest,
-                         lambda i: (0, i) + rest_zeros,
+                         lambda i: (_z(), i) + rest_zeros(),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((T,) + rest, lambda i: (i,) + rest_zeros,
+        out_specs=pl.BlockSpec((T,) + rest, lambda i: (i,) + rest_zeros(),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(x, x, x, coeff)
@@ -595,16 +606,16 @@ def fused_smooth_striped(r: jax.Array, z: jax.Array, coeff: jax.Array,
     hb = T // h
 
     def prev_map(i):
-        return (jnp.maximum(i * hb - 1, 0), 0)
+        return (jnp.maximum(i * hb - 1, 0), _z())
 
     def next_map(i):
-        return (jnp.minimum(i * hb + hb, n_blocks * hb - 1), 0)
+        return (jnp.minimum(i * hb + hb, n_blocks * hb - 1), _z())
 
     def cprev_map(i):
-        return (0, jnp.maximum(i * hb - 1, 0), 0)
+        return (_z(), jnp.maximum(i * hb - 1, 0), _z())
 
     def cnext_map(i):
-        return (0, jnp.minimum(i * hb + hb, n_blocks * hb - 1), 0)
+        return (_z(), jnp.minimum(i * hb + hb, n_blocks * hb - 1), _z())
 
     def kernel(rp, rc, rn, zp, zc, zn, sp, sc, sn, cp, cc, cn, o_ref,
                z_s, r_s, s_s, c_s, az_s):
@@ -629,10 +640,11 @@ def fused_smooth_striped(r: jax.Array, z: jax.Array, coeff: jax.Array,
 
     blk_h = pl.BlockSpec((h, n1), prev_map, memory_space=pltpu.VMEM)
     blk_hn = pl.BlockSpec((h, n1), next_map, memory_space=pltpu.VMEM)
-    blk_T = pl.BlockSpec((T, n1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+    blk_T = pl.BlockSpec((T, n1), lambda i: (i, _z()),
+                         memory_space=pltpu.VMEM)
     in_specs = [blk_h, blk_T, blk_hn] * 3 + [
         pl.BlockSpec((9, h, n1), cprev_map, memory_space=pltpu.VMEM),
-        pl.BlockSpec((9, T, n1), lambda i: (0, i, 0),
+        pl.BlockSpec((9, T, n1), lambda i: (_z(), i, _z()),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((9, h, n1), cnext_map, memory_space=pltpu.VMEM),
     ]
@@ -642,7 +654,7 @@ def fused_smooth_striped(r: jax.Array, z: jax.Array, coeff: jax.Array,
         grid=(n_blocks,),
         out_shape=jax.ShapeDtypeStruct(z.shape, z.dtype),
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((T, n1), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((T, n1), lambda i: (i, _z()),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.VMEM((E, n1), jnp.float32)] * 3
                        + [pltpu.VMEM((9, E, n1), jnp.float32),
@@ -927,10 +939,10 @@ def fused_normal_apply_ext_striped(x_ext1: jax.Array, from_top: jax.Array,
         out_shape = jax.ShapeDtypeStruct((n0_loc, n1_loc), x_ext1.dtype)
 
     def prev_map(i):
-        return (jnp.maximum(i * hb - 1, 0), 0)
+        return (jnp.maximum(i * hb - 1, 0), _z())
 
     def next_map(i):
-        return (jnp.minimum(i * hb + hb, g * hb - 1), 0)
+        return (jnp.minimum(i * hb + hb, g * hb - 1), _z())
 
     return pl.pallas_call(
         kernel,
@@ -939,14 +951,17 @@ def fused_normal_apply_ext_striped(x_ext1: jax.Array, from_top: jax.Array,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((h, W), prev_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((T, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((T, W), lambda i: (i, _z()),
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((h, W), next_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((h, W), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((h, W), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((9, T, n1_loc), lambda i: (0, i, 0),
+            pl.BlockSpec((h, W), lambda i: (_z(), _z()),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, W), lambda i: (_z(), _z()),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((9, T, n1_loc), lambda i: (_z(), i, _z()),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((T, n1_loc), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((T, n1_loc), lambda i: (i, _z()),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(global_start.astype(jnp.int32), x_ext1, x_ext1, x_ext1, ft, fb, coeff)
@@ -1167,7 +1182,7 @@ def fused_normal_apply_striped2_3d(x: jax.Array, coeff: jax.Array,
     hb0, hb1 = T0 // h0, T1 // h1
 
     def block(i, j):
-        return (i, j, 0)
+        return (i, j, _z())
 
     def idx0(i, lo):  # clamped h0-block index along axis 0
         return jnp.clip(i, 0, n0 // h0 - 1) if lo else i
@@ -1190,7 +1205,7 @@ def fused_normal_apply_striped2_3d(x: jax.Array, coeff: jax.Array,
                 j0 = jnp.maximum(j * hb1 - 1, 0)
             else:
                 j0 = jnp.minimum(j * hb1 + hb1, g1 * hb1 - 1)
-            return (i0, j0, 0)
+            return (i0, j0, _z())
 
         return pl.BlockSpec((b0, b1, n2), imap, memory_space=pltpu.VMEM)
 
@@ -1280,9 +1295,9 @@ def fused_normal_apply_striped2_3d(x: jax.Array, coeff: jax.Array,
         grid=(g0, g1),
         out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
         in_specs=[spec(rk, ck) for rk, ck in kinds]
-        + [pl.BlockSpec((27, T0, T1, n2), lambda i, j: (0, i, j, 0),
+        + [pl.BlockSpec((27, T0, T1, n2), lambda i, j: (_z(), i, j, _z()),
                         memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((T0, T1, n2), lambda i, j: (i, j, 0),
+        out_specs=pl.BlockSpec((T0, T1, n2), lambda i, j: (i, j, _z()),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(*([x] * 9), coeff)
