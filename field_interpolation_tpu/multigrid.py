@@ -459,7 +459,9 @@ def make_vcycle_preconditioner(problem: Problem, config: SolverConfig,
     if pallas_smooth:
         from .ops.pallas_stencil import (fits_vmem, fused_smooth,
                                          fused_smooth_striped,
-                                         pick_stripe_smooth)
+                                         fused_smooth_tiled,
+                                         pick_stripe_smooth,
+                                         pick_tile_smooth)
         from .stencils import max_stencil_radius
         smoothers = []
         for li in range(len(levels) + 1):
@@ -480,18 +482,28 @@ def make_vcycle_preconditioner(problem: Problem, config: SolverConfig,
                 # Beyond-VMEM fine level (2D, full data stencil): multi-sweep
                 # striped smoother — the 9-channel coeff block is read once
                 # per smoothing phase instead of once per sweep.
-                T = None
+                T = T2 = None
                 if li == 0 and ndim == 2 and not lump:
                     rad = max(max_stencil_radius(weights_l), 1)
-                    T = pick_stripe_smooth(shape_l, rad,
-                                           max(config.mg_pre_smooth,
-                                               config.mg_post_smooth))
+                    nu_max = max(config.mg_pre_smooth, config.mg_post_smooth)
+                    T = pick_stripe_smooth(shape_l, rad, nu_max)
+                    if T is None:
+                        # 4096-wide grids: the full-width striped footprint
+                        # exceeds VMEM; tile BOTH axes (VERDICT r2 item 6).
+                        T2 = pick_tile_smooth(shape_l, rad, nu_max)
                 if T is not None:
                     smoothers.append(functools.partial(
                         fused_smooth_striped,
                         coeff=coeff_l.astype(jnp.float32),
                         scaled_inv_diag=sid.astype(jnp.float32),
                         weights=weights_l, stripe=T,
+                        interpret=pallas_interpret))
+                elif T2 is not None:
+                    smoothers.append(functools.partial(
+                        fused_smooth_tiled,
+                        coeff=coeff_l.astype(jnp.float32),
+                        scaled_inv_diag=sid.astype(jnp.float32),
+                        weights=weights_l, tiles=T2,
                         interpret=pallas_interpret))
                 else:
                     smoothers.append(None)  # fall back to XLA sweeps

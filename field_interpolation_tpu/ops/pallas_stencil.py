@@ -664,6 +664,220 @@ def fused_smooth_striped(r: jax.Array, z: jax.Array, coeff: jax.Array,
       coeff, coeff, coeff)
 
 # ---------------------------------------------------------------------------
+# 2D-TILED multi-sweep smoother: same coeff-read-once idea as
+# fused_smooth_striped, but tiled along BOTH axes so the working set fits
+# VMEM on 4096-wide grids where full-width stripes measured 27.75 MB
+# (pick_stripe_smooth bails for n1 >= ~2048). Axis-0 halo unit stays the
+# 8-row sublane block; axis-1 halos come as 128-wide lane blocks (the 3x3
+# clamped-neighbor-view trick of the two-axis 3D kernel). Each sweep shrinks
+# the valid margin by the operator radius along BOTH axes now, so the
+# axis-1 window masks must also be evaluated in GLOBAL coordinates — tile
+# edges are interior, only grid edges drop rows. Out-of-global halo garbage
+# is neutralized exactly as in the striped variants (global window masks +
+# zero data coefficients). VERDICT r2 item 6.
+# ---------------------------------------------------------------------------
+
+_W_EXT = 128  # axis-1 halo block unit (lane-aligned)
+
+
+def pick_tile_smooth(shape: tuple[int, ...], radius: int, sweeps: int,
+                     itemsize: int = 4):
+    """(T0, T1) for the 2D-tiled multi-sweep smoother, or None (2D only,
+    engages where pick_stripe_smooth cannot). Picks the candidate with the
+    lowest halo read amplification E0·E1/(T0·T1) whose full footprint —
+    13 ext scratch arrays plus the double-buffered 12·E0·E1-float input
+    blocks (Mosaic double-buffers grid inputs) — fits the scoped VMEM."""
+    if len(shape) != 2 or sweeps * radius > _H_EXT:
+        return None
+    n0, n1 = shape
+    best = None
+    best_amp = None
+    for T0 in (128, 64, 32, 16, 8):
+        if n0 % T0 or T0 % _H_EXT:
+            continue
+        for T1 in (1024, 512, 256, 128):
+            if n1 % T1 or T1 % _W_EXT or n1 == T1:
+                continue  # single column tile -> the striped variant applies
+            E0, E1 = T0 + 2 * _H_EXT, T1 + 2 * _W_EXT
+            est = (13 + 24) * E0 * E1 * itemsize + 2 * T0 * T1 * itemsize
+            if est > 14 * 1024 * 1024:
+                continue
+            amp = (E0 * E1) / (T0 * T1)
+            if best is None or amp < best_amp:
+                best, best_amp = (T0, T1), amp
+    return best
+
+
+def _apply_rect_ext(z_ref, c_ref, az_ref, weights: Weights,
+                    lo0: int, hi0: int, lo1: int, hi1: int,
+                    row0_g, col0_g, n0_g: int, n1_g: int):
+    """az[lo0:hi0, lo1:hi1] = (S + data) z on a rectangle of the 2D-tiled
+    halo-extended block, with GLOBAL validity masks on BOTH axes (row0_g /
+    col0_g = global coordinates of ext element (0, 0)). Reads z on the
+    rectangle padded by the operator radius — the caller guarantees that
+    range stays inside the ext arrays."""
+    nr, nc = hi0 - lo0, hi1 - lo1
+
+    if 0 in weights.active_orders():
+        az_ref[lo0:hi0, lo1:hi1] = ((weights.model_0 ** 2)
+                                    * z_ref[lo0:hi0, lo1:hi1])
+    else:
+        az_ref[lo0:hi0, lo1:hi1] = jnp.zeros((nr, nc), az_ref.dtype)
+
+    for order in weights.active_orders():
+        if order == 0:
+            continue
+        taps = stencils.STENCIL_TAPS[order]
+        L = len(taps)
+        w2 = weights.model_weight(order) ** 2
+
+        # Axis 0: windows w in [lo0-L+1, hi0) feed output rows [lo0, hi0).
+        if n0_g >= L:
+            w0 = lo0 - (L - 1)
+            m0 = hi0 - w0
+            y = None
+            for k, s in enumerate(taps):
+                t = s * z_ref[w0 + k:w0 + k + m0, lo1:hi1]
+                y = t if y is None else y + t
+            win_g = (row0_g + w0) + jax.lax.broadcasted_iota(
+                jnp.int32, y.shape, 0)
+            y = jnp.where((win_g >= 0) & (win_g <= n0_g - L), y, 0.0)
+            for k, s in enumerate(taps):
+                az_ref[lo0:hi0, lo1:hi1] += (
+                    (w2 * s) * y[(L - 1) - k:(L - 1) - k + nr])
+
+        # Axis 1: same construction on columns (tile edges are INTERIOR —
+        # the global mask is what distinguishes them from grid edges).
+        if n1_g >= L:
+            w1 = lo1 - (L - 1)
+            m1 = hi1 - w1
+            y = None
+            for k, s in enumerate(taps):
+                t = s * z_ref[lo0:hi0, w1 + k:w1 + k + m1]
+                y = t if y is None else y + t
+            win_g = (col0_g + w1) + jax.lax.broadcasted_iota(
+                jnp.int32, y.shape, 1)
+            y = jnp.where((win_g >= 0) & (win_g <= n1_g - L), y, 0.0)
+            for k, s in enumerate(taps):
+                az_ref[lo0:hi0, lo1:hi1] += (
+                    (w2 * s) * y[:, (L - 1) - k:(L - 1) - k + nc])
+
+    # Data term: coeff is aligned with ext coordinates; out-of-grid pairs
+    # have zero coefficients, so shifted reads need no masking.
+    offsets = cons.offset_list(2)
+    for o_idx in range(offsets.shape[0]):
+        o0, o1 = int(offsets[o_idx][0]), int(offsets[o_idx][1])
+        az_ref[lo0:hi0, lo1:hi1] += (
+            c_ref[o_idx, lo0:hi0, lo1:hi1]
+            * z_ref[lo0 + o0:hi0 + o0, lo1 + o1:hi1 + o1])
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("weights", "sweeps", "from_zero",
+                                    "tiles", "interpret"))
+def fused_smooth_tiled(r: jax.Array, z: jax.Array, coeff: jax.Array,
+                       scaled_inv_diag: jax.Array, weights: Weights,
+                       sweeps: int, tiles: tuple[int, int],
+                       from_zero: bool = False,
+                       interpret: bool = False) -> jax.Array:
+    """2D-tiled multi-sweep damped Jacobi: ALL ``sweeps`` run per (T0, T1)
+    tile with the 9-channel coeff block read ONCE (see fused_smooth_striped
+    for the traffic argument; this variant reaches 4096-wide grids)."""
+    T0, T1 = tiles
+    h0, h1 = _H_EXT, _W_EXT
+    rho = max(stencils.max_stencil_radius(weights), 1)
+    n0, n1 = z.shape
+    g0, g1 = n0 // T0, n1 // T1
+    hb0, hb1 = T0 // h0, T1 // h1
+    E0, E1 = T0 + 2 * h0, T1 + 2 * h1
+
+    kinds = [("p", "p"), ("p", "c"), ("p", "n"),
+             ("c", "p"), ("c", "c"), ("c", "n"),
+             ("n", "p"), ("n", "c"), ("n", "n")]
+
+    def spec(rowkind, colkind, lead=None):
+        b0 = h0 if rowkind != "c" else T0
+        b1 = h1 if colkind != "c" else T1
+
+        def imap(i, j):
+            if rowkind == "c":
+                i0 = i
+            elif rowkind == "p":
+                i0 = jnp.maximum(i * hb0 - 1, 0)
+            else:
+                i0 = jnp.minimum(i * hb0 + hb0, g0 * hb0 - 1)
+            if colkind == "c":
+                j0 = j
+            elif colkind == "p":
+                j0 = jnp.maximum(j * hb1 - 1, 0)
+            else:
+                j0 = jnp.minimum(j * hb1 + hb1, g1 * hb1 - 1)
+            if lead is None:
+                return (i0, j0)
+            return (_z(), i0, j0)
+
+        shape_b = (b0, b1) if lead is None else (lead, b0, b1)
+        return pl.BlockSpec(shape_b, imap, memory_space=pltpu.VMEM)
+
+    def kernel(*refs):
+        rb = refs[0:9]
+        zb = refs[9:18]
+        sb = refs[18:27]
+        cb = refs[27:36]
+        o_ref = refs[36]
+        r_s, z_s, s_s, az_s, c_s = refs[37:42]
+
+        def ext2(blocks, sref):
+            rows = [jnp.concatenate([blocks[3 * q + c][...]
+                                     for c in range(3)], axis=1)
+                    for q in range(3)]
+            sref[...] = jnp.concatenate(rows, axis=0)
+
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        row0_g = i * T0 - h0
+        col0_g = j * T1 - h1
+        ext2(rb, r_s)
+        ext2(sb, s_s)
+        rows = [jnp.concatenate([cb[3 * q + c][...] for c in range(3)],
+                                axis=2) for q in range(3)]
+        c_s[...] = jnp.concatenate(rows, axis=1)
+        n_sw = sweeps
+        if from_zero:
+            z_s[...] = s_s[...] * r_s[...]
+            n_sw = sweeps - 1
+        else:
+            ext2(zb, z_s)
+        for s in range(1, n_sw + 1):
+            m = (n_sw - s) * rho
+            lo0, hi0 = h0 - m, h0 + T0 + m
+            lo1, hi1 = h1 - m, h1 + T1 + m
+            _apply_rect_ext(z_s, c_s, az_s, weights, lo0, hi0, lo1, hi1,
+                            row0_g, col0_g, n0, n1)
+            z_s[lo0:hi0, lo1:hi1] = (
+                z_s[lo0:hi0, lo1:hi1]
+                + s_s[lo0:hi0, lo1:hi1]
+                * (r_s[lo0:hi0, lo1:hi1] - az_s[lo0:hi0, lo1:hi1]))
+        o_ref[...] = z_s[h0:h0 + T0, h1:h1 + T1]
+
+    in_specs = ([spec(rk, ck) for rk, ck in kinds]          # r
+                + [spec(rk, ck) for rk, ck in kinds]        # z
+                + [spec(rk, ck) for rk, ck in kinds]        # sid
+                + [spec(rk, ck, lead=9) for rk, ck in kinds])  # coeff
+    return pl.pallas_call(
+        kernel,
+        grid=(g0, g1),
+        out_shape=jax.ShapeDtypeStruct(z.shape, z.dtype),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((T0, T1), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((E0, E1), jnp.float32)] * 4
+                       + [pltpu.VMEM((9, E0, E1), jnp.float32)],
+        interpret=interpret,
+    )(*([r] * 9), *([z] * 9), *([scaled_inv_diag] * 9), *([coeff] * 9))
+
+
+# ---------------------------------------------------------------------------
 # Whole-V-cycle kernels (2D, VMEM-fit problems): the entire symmetric V-cycle
 # runs as TWO Pallas calls (down-sweep and up-sweep) plus one XLA dense
 # matvec for the coarsest solve — Mosaic cannot reshape (nc0, nc1) ->
