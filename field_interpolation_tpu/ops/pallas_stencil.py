@@ -367,12 +367,14 @@ def ext_fits_vmem(local_shape: tuple[int, ...], radius: int,
 
 
 @functools.partial(jax.jit, static_argnames=("weights", "ndim", "radius",
-                                             "grid_shape", "interpret"))
+                                             "grid_shape", "interpret",
+                                             "diag_data"))
 def fused_normal_apply_ext(x_ext: jax.Array, coeff: jax.Array,
                            global_start: jax.Array, weights: Weights,
                            ndim: int, radius: int,
                            grid_shape: tuple[int, ...],
-                           interpret: bool = False) -> jax.Array:
+                           interpret: bool = False,
+                           diag_data: bool = False) -> jax.Array:
     """Fused (S + DᵀWD) apply on a halo-extended local block.
 
     x_ext: local block extended by ``radius`` on every axis (neighbor data /
@@ -380,6 +382,10 @@ def fused_normal_apply_ext(x_ext: jax.Array, coeff: jax.Array,
     leaves the GLOBAL grid, so no data mask is needed). global_start: int32
     [ndim] global coordinate of the local block's first node. grid_shape:
     the GLOBAL grid shape (for the dropped-row window masks).
+    ``diag_data=True``: coeff is a bare [*local] DIAGONAL data term — the
+    form every distributed-multigrid coarse level is in (one multiply-add
+    instead of the 3^D offset loop; VERDICT r2 item 8, sharded coarse-level
+    smoothing through the fused kernels).
     """
     local_shape = tuple(n - 2 * radius for n in x_ext.shape)
     r = radius
@@ -424,12 +430,17 @@ def fused_normal_apply_ext(x_ext: jax.Array, coeff: jax.Array,
                     so[ax] = slice(r - k, r - k + n_loc)
                     o_ref[full] += (w2 * s) * y[tuple(so)]
 
-        offsets = cons.offset_list(ndim)
-        for o_idx in range(offsets.shape[0]):
-            off = offsets[o_idx]
-            src = tuple(slice(r + int(off[d]), r + int(off[d]) + local_shape[d])
-                        for d in range(ndim))
-            o_ref[full] += c_ref[(o_idx,) + full] * x_ref[src]
+        if diag_data:
+            center_sl = tuple(slice(r, r + n) for n in local_shape)
+            o_ref[full] += c_ref[...] * x_ref[center_sl]
+        else:
+            offsets = cons.offset_list(ndim)
+            for o_idx in range(offsets.shape[0]):
+                off = offsets[o_idx]
+                src = tuple(slice(r + int(off[d]),
+                                  r + int(off[d]) + local_shape[d])
+                            for d in range(ndim))
+                o_ref[full] += c_ref[(o_idx,) + full] * x_ref[src]
 
     # Inside shard_map, pallas_call must declare which mesh axes the output
     # varies over (check_vma): it varies exactly like the input block.
@@ -446,11 +457,11 @@ def fused_normal_apply_ext(x_ext: jax.Array, coeff: jax.Array,
         kernel,
         out_shape=out_shape,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            _wspec((ndim,), pltpu.SMEM),
+            _wspec(x_ext.shape),
+            _wspec(coeff.shape),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=_wspec(local_shape),
         interpret=interpret,
     )(global_start.astype(jnp.int32), x_ext, coeff)
 

@@ -122,11 +122,15 @@ def _sharded_axis_normal_apply(x_ext: jax.Array, order: int, axis: int,
 
 def _smoothness_from_ext(x_ext: jax.Array, loc_shape: tuple[int, ...],
                          weights, grid_shape: tuple[int, ...],
-                         axis_names, shards, radius: int) -> jax.Array:
+                         axis_names, shards, radius: int,
+                         global_start_vec=None) -> jax.Array:
     """Smoothness normal-operator part Σ_k w_k²(B_kᵀB_k)x of the sharded
     apply, on a block already halo-extended by ``radius`` along EVERY axis.
     Masks are evaluated in global coordinates (dropped rows only at global
-    grid edges — SPEC.md boundary policy; internal shard seams are interior)."""
+    grid edges — SPEC.md boundary policy; internal shard seams are interior).
+    ``global_start_vec`` overrides the per-axis axis_index·n_loc global
+    origin — the overlapped apply's shell bands sit at offsets that are NOT
+    multiples of the block size."""
     ndim = len(grid_shape)
     smooth_orders = [k for k in weights.active_orders() if k > 0]
     w0_2 = weights.model_0 ** 2 if 0 in weights.active_orders() else 0.0
@@ -142,7 +146,9 @@ def _smoothness_from_ext(x_ext: jax.Array, loc_shape: tuple[int, ...],
     for d in range(ndim):
         n_loc = loc_shape[d]
         n_glob = grid_shape[d]
-        if len(axis_names) > d and shards[d] > 1:
+        if global_start_vec is not None:
+            global_start = global_start_vec[d]
+        elif len(axis_names) > d and shards[d] > 1:
             global_start = lax.axis_index(axis_names[d]) * n_loc
         else:
             global_start = jnp.int32(0)
@@ -160,7 +166,8 @@ def _smoothness_from_ext(x_ext: jax.Array, loc_shape: tuple[int, ...],
 
 
 def make_sharded_apply(grid_shape: tuple[int, ...], weights, mesh: Mesh,
-                       coeff: jax.Array, backend: str = "xla"):
+                       coeff: jax.Array, backend: str = "xla",
+                       overlap: bool = True):
     """Local-block operator apply with halo exchange, for use inside
     shard_map. ``coeff`` is the local data-term block.
 
@@ -169,7 +176,9 @@ def make_sharded_apply(grid_shape: tuple[int, ...], weights, mesh: Mesh,
     fits VMEM (ops.pallas_stencil.fused_normal_apply_ext — one kernel pass
     instead of ~a dozen XLA HBM round trips per iteration); "pallas" forces
     it (interpret mode off-TPU: tests); "xla" always uses the shift path.
-    The halo exchange itself is always XLA ppermute."""
+    The halo exchange itself is always XLA ppermute. ``overlap`` (default
+    True) restructures the 2D XLA path so the ppermutes can overlap the
+    interior compute (see _xla_apply_overlap2d)."""
     ndim = len(grid_shape)
     axis_names = mesh.axis_names[:ndim]
     shards = tuple(mesh.shape[a] for a in axis_names) + (1,) * (ndim - len(axis_names))
@@ -201,6 +210,68 @@ def make_sharded_apply(grid_shape: tuple[int, ...], weights, mesh: Mesh,
                 gs.append(jnp.int32(0))
         return jnp.stack(gs)
 
+    def _xla_apply_overlap2d(x_loc: jax.Array) -> jax.Array:
+        """2D apply restructured for halo-comm/compute OVERLAP (SURVEY.md §7
+        hard-part #5 second half; VERDICT r2 item 8). The sequential scheme
+        chains exchange-axis0 → exchange-axis1 → whole-block compute, so the
+        compute waits on both ppermutes. Here:
+
+        * both axis slab exchanges are issued CONCURRENTLY (each depends
+          only on x_loc's edges); the r×r corner patches — the transitive
+          corner fill the sequential scheme gets implicitly — ride a second
+          tiny exchange of the received slabs;
+        * the INTERIOR result is computed from the local block alone
+          (zero halos), with no data dependence on any exchanged slab, so
+          XLA's async collectives are free to overlap the ppermutes with
+          the bulk of the compute;
+        * only the width-r SHELL bands are recomputed from the true
+          extended block and overwrite the interior result's edges.
+
+        Numerically identical to _xla_apply (same masked windows, same
+        data coefficients); single-chip CPU tests pin the equality, the
+        actual overlap is a multi-chip scheduling property this rig cannot
+        measure."""
+        r = radius
+        n0l, n1l = x_loc.shape
+        name0 = axis_names[0] if len(axis_names) > 0 else None
+        name1 = axis_names[1] if len(axis_names) > 1 else None
+        ft, fb = _halo_slabs(x_loc, 0, r, name0, shards[0])
+        fl, fr = _halo_slabs(x_loc, 1, r, name1, shards[1])
+        ftl, ftr = _halo_slabs(ft, 1, r, name1, shards[1])
+        fbl, fbr = _halo_slabs(fb, 1, r, name1, shards[1])
+        top = jnp.concatenate([ftl, ft, ftr], axis=1)
+        bot = jnp.concatenate([fbl, fb, fbr], axis=1)
+        mid = jnp.concatenate([fl, x_loc, fr], axis=1)
+        x_ext = jnp.concatenate([top, mid, bot], axis=0)
+        gs = _global_start_vec(x_loc)
+
+        def apply_at(ext, shape_b, gs_b, coeff_b):
+            sm = _smoothness_from_ext(ext, shape_b, weights, grid_shape,
+                                      axis_names, shards, r,
+                                      global_start_vec=gs_b)
+            x1 = ext[r - 1:r + shape_b[0] + 1, r - 1:r + shape_b[1] + 1]
+            offsets = cons.offset_list(2)
+            data = jnp.zeros(shape_b, x_loc.dtype)
+            for o_idx in range(offsets.shape[0]):
+                o0, o1 = int(offsets[o_idx][0]), int(offsets[o_idx][1])
+                data = data + coeff_b[o_idx] * x1[1 + o0:1 + o0 + shape_b[0],
+                                                  1 + o1:1 + o1 + shape_b[1]]
+            return sm + data
+
+        # Interior from zero halos (independent of the exchanges).
+        out = apply_at(jnp.pad(x_loc, r), (n0l, n1l), gs, coeff)
+
+        # Shell bands from the true extended block.
+        bands = [(0, r, 0, n1l), (n0l - r, n0l, 0, n1l),
+                 (r, n0l - r, 0, r), (r, n0l - r, n1l - r, n1l)]
+        for (a0, b0, a1, b1) in bands:
+            ext_b = x_ext[a0:b0 + 2 * r, a1:b1 + 2 * r]
+            gs_b = gs + jnp.asarray([a0, a1], gs.dtype)
+            band = apply_at(ext_b, (b0 - a0, b1 - a1), gs_b,
+                            coeff[:, a0:b0, a1:b1])
+            out = out.at[a0:b0, a1:b1].set(band)
+        return out
+
     def apply_fn(x_loc: jax.Array) -> jax.Array:
         if use_pallas and x_loc.dtype == jnp.float32:
             c32 = coeff.astype(jnp.float32)
@@ -225,6 +296,10 @@ def make_sharded_apply(grid_shape: tuple[int, ...], weights, mesh: Mesh,
                 x_ext, c32, _global_start_vec(x_loc),
                 weights, ndim, radius, grid_shape,
                 interpret=pallas_interpret)
+        if (overlap and ndim == 2
+                and min(x_loc.shape) >= 4 * radius
+                and any(shards[d] > 1 for d in range(ndim))):
+            return _xla_apply_overlap2d(x_loc)
         return _xla_apply(x_loc)
 
     def _xla_apply(x_loc: jax.Array) -> jax.Array:
@@ -439,6 +514,35 @@ def _make_mg_precond(plan: _MGPlan, ops, apply_fn, diag_l, mesh: Mesh,
     def _name(d):
         return axis_names[d] if d < len(axis_names) else None
 
+    # Fused-kernel path for SHARDED level applies (VERDICT r2 item 8): the
+    # halo-extended block runs through ops.pallas_stencil.fused_normal_apply_
+    # ext with the DIAGONAL data term folded in — one kernel pass instead of
+    # ~a dozen XLA shift ops per smoothing sweep. Engaged per level when the
+    # extended block fits VMEM (diag form: ext + 2·local floats).
+    platform = jax.devices()[0].platform
+    on_tpu = platform in ("tpu", "axon")
+    use_pallas_levels = (config.backend != "xla"
+                         and (on_tpu or config.backend == "pallas"))
+    pallas_interpret = not on_tpu
+
+    def _gs_vec(local_shape):
+        return jnp.stack([_axis_idx(d) * local_shape[d] for d in range(nd)])
+
+    def _diag_ext_fits(local_shape, radius):
+        import math
+        ext = math.prod(n + 2 * radius for n in local_shape)
+        return (ext + 2 * math.prod(local_shape)) * 4 <= 8 * 1024 * 1024
+
+    def _fused_level_apply(x, dd, weights_l, S_l, radius):
+        """(S + diag) x on a sharded level via the fused ext kernel."""
+        x_ext = x
+        for d in range(nd):
+            x_ext = _halo_exchange(x_ext, d, radius, _name(d), shards[d])
+        from ..ops.pallas_stencil import fused_normal_apply_ext
+        return fused_normal_apply_ext(
+            x_ext, dd, _gs_vec(x.shape), weights_l, nd, radius, S_l,
+            interpret=pallas_interpret, diag_data=True)
+
     def _sharded_smooth_apply(x, weights_l, S_l, radius):
         if radius == 0:
             w0 = weights_l.model_0 ** 2 if 0 in weights_l.active_orders() else 0.0
@@ -455,6 +559,11 @@ def _make_mg_precond(plan: _MGPlan, ops, apply_fn, diag_l, mesh: Mesh,
                 # Lumped fine smoothing operator: smoothness + diag(data).
                 rad = max([k for k in plan.fweights.active_orders() if k > 0],
                           default=0)
+                if (use_pallas_levels and rad > 0
+                        and x.dtype == jnp.float32
+                        and _diag_ext_fits(x.shape, rad)):
+                    return _fused_level_apply(x, fine_dd_l, plan.fweights,
+                                              plan.shapes[0], rad)
                 sm = _sharded_smooth_apply(x, plan.fweights, plan.shapes[0],
                                            rad)
                 return sm + fine_dd_l * x
@@ -462,7 +571,11 @@ def _make_mg_precond(plan: _MGPlan, ops, apply_fn, diag_l, mesh: Mesh,
         w_l, S_l = plan.lweights[li - 1], plan.shapes[li]
         dd = ddiags[li - 1]
         if li <= plan.n_sh:
-            sm = _sharded_smooth_apply(x, w_l, S_l, plan.radii[li - 1])
+            rad = plan.radii[li - 1]
+            if (use_pallas_levels and rad > 0 and x.dtype == jnp.float32
+                    and _diag_ext_fits(x.shape, rad)):
+                return _fused_level_apply(x, dd, w_l, S_l, rad)
+            sm = _sharded_smooth_apply(x, w_l, S_l, rad)
         else:
             sm = stencils.smoothness_apply(x, w_l, nd)
         return sm + dd * x

@@ -386,3 +386,101 @@ def test_distributed_mg_sharded_coarse_level(rng):
     x_sh, info_sh = solve_sharded(shard_problem(problem, mesh), mesh, cfg)
     assert bool(info_sh.converged)
     assert abs(int(info_sh.iterations) - int(info_ref.iterations)) <= 2
+
+
+def test_fused_ext_diag_data_matches_xla(rng):
+    """fused_normal_apply_ext(diag_data=True) — the distributed-MG coarse
+    level form (smoothness + diagonal data in one kernel) — must equal the
+    XLA smoothness apply + diag multiply on an interior block with global
+    window masks (VERDICT r2 item 8)."""
+    import jax.numpy as jnp
+    from field_interpolation_tpu import stencils
+    from field_interpolation_tpu.ops.pallas_stencil import fused_normal_apply_ext
+
+    grid_shape = (64, 96)
+    weights = Weights(model_1=0.2, model_2=1.0)
+    r = 2
+    x = rng.standard_normal(grid_shape).astype(np.float32)
+    dd = np.abs(rng.standard_normal(grid_shape)).astype(np.float32)
+    want = np.asarray(stencils.smoothness_apply(jnp.asarray(x), weights, 2)
+                      ) + dd * x
+    # Emulate a (2,2) shard layout: each local block extended with true
+    # neighbor data (zeros at global edges).
+    xp = np.pad(x, r)
+    b0, b1 = grid_shape[0] // 2, grid_shape[1] // 2
+    for i in range(2):
+        for j in range(2):
+            ext = xp[i * b0:i * b0 + b0 + 2 * r, j * b1:j * b1 + b1 + 2 * r]
+            gs = jnp.asarray([i * b0, j * b1], jnp.int32)
+            got = fused_normal_apply_ext(
+                jnp.asarray(ext), jnp.asarray(dd[i * b0:(i + 1) * b0,
+                                                 j * b1:(j + 1) * b1]),
+                gs, weights, 2, r, grid_shape, interpret=True,
+                diag_data=True)
+            np.testing.assert_allclose(
+                np.asarray(got), want[i * b0:(i + 1) * b0,
+                                      j * b1:(j + 1) * b1],
+                rtol=0, atol=2e-5)
+
+
+@pytest.mark.slow
+def test_distributed_mg_pallas_levels_match_xla(rng):
+    """Distributed MG with backend='pallas' (fused ext kernels for the
+    fine apply AND the sharded coarse-level smoothing, interpret mode) must
+    keep the iteration-parity contract and the solution (VERDICT r2
+    item 8). Grid sized so the first coarse level (80² = 6400 nodes) stays
+    SHARDED — the fused diag-data level path is actually exercised."""
+    from field_interpolation_tpu.parallel import sharded as sh
+
+    grid = Grid((160, 160))
+    problem = _problem_2d(rng, grid, Weights(model_2=0.3), n=150)
+    mesh = _mesh((2, 2), ("x", "y"))
+    cfg_x = SolverConfig(tol=1e-4, preconditioner="multigrid", maxiter=2000,
+                         backend="xla")
+    plan, _, _ = sh._make_mg_plan(problem, mesh, cfg_x)
+    assert plan.n_sh >= 1, plan  # the coarse level really is sharded
+    sp = shard_problem(problem, mesh)
+    x_x, info_x = solve_sharded(sp, mesh, cfg_x)
+    cfg_p = SolverConfig(tol=1e-4, preconditioner="multigrid", maxiter=2000,
+                         backend="pallas")
+    x_p, info_p = solve_sharded(sp, mesh, cfg_p)
+    assert bool(info_p.converged)
+    assert abs(int(info_p.iterations) - int(info_x.iterations)) <= 1
+    scale = np.abs(np.asarray(x_x)).max()
+    np.testing.assert_allclose(np.asarray(x_p), np.asarray(x_x),
+                               atol=2e-3 * scale)
+
+
+def test_overlap_apply_equals_sequential(rng):
+    """The overlapped 2D sharded apply (concurrent axis exchanges + corner
+    patch exchange + interior/shell split) must equal the sequential
+    exchange-then-compute apply to fp32 reduction-order noise on every
+    mesh shape (VERDICT r2 item 8)."""
+    from functools import partial
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from field_interpolation_tpu.parallel.sharded import (
+        _grid_partition_spec, make_sharded_apply)
+
+    grid = Grid((64, 96))
+    weights = Weights(model_1=0.2, model_2=1.0)
+    problem = _problem_2d(rng, grid, weights, n=120)
+    x = jnp.asarray(rng.standard_normal(grid.shape), jnp.float32)
+    for mesh_shape in [(2, 4), (4, 2), (8, 1), (1, 8)]:
+        mesh = _mesh(mesh_shape, ("x", "y"))
+        spec_g = _grid_partition_spec(mesh, 2)
+        spec_c = _grid_partition_spec(mesh, 2, lead_dims=1)
+        outs = {}
+        for ov in (False, True):
+            @partial(jax.shard_map, mesh=mesh, in_specs=(spec_c, spec_g),
+                     out_specs=spec_g)
+            def body(coeff_l, x_l, ov=ov):
+                f = make_sharded_apply(grid.shape, weights, mesh, coeff_l,
+                                       overlap=ov)
+                return f(x_l)
+            outs[ov] = np.asarray(jax.jit(body)(
+                jax.device_put(problem.coeff, NamedSharding(mesh, spec_c)),
+                jax.device_put(x, NamedSharding(mesh, spec_g))))
+        scale = np.abs(outs[False]).max()
+        np.testing.assert_allclose(outs[True], outs[False],
+                                   rtol=0, atol=1e-5 * scale)
