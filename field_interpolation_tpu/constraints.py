@@ -291,10 +291,13 @@ def use_matmul_scatter(grid: Grid, n: int) -> bool:
     item 7 — the exact integer-grid protocol now covers gated 3D)."""
     if grid.ndim not in (2, 3):
         return False
+    if n * grid.num_nodes > 200_000_000:
+        return False
+    if grid.ndim == 2:
+        return True  # 2D behavior unchanged: the flop gate alone
     import math
     rest = math.prod(grid.shape[1:])
-    return (n * grid.num_nodes <= 200_000_000
-            and n * rest * 4 <= 64 * 1024 * 1024)
+    return n * rest * 4 <= 64 * 1024 * 1024
 
 
 def densify_data_term(

@@ -155,39 +155,6 @@ def restrict_diag(diag_f: jax.Array, coarse_shape: tuple[int, ...]) -> jax.Array
 
 
 @functools.lru_cache(maxsize=None)
-def _axis_smoothness_matrix(n: int, weights: Weights) -> np.ndarray:
-    """Dense 1-D smoothness normal matrix Σ_{k>0} w_k² B_kᵀB_k  [n, n]
-    (dropped-row boundary policy exact; order 0 excluded — it is emitted
-    once per NODE, not per axis). Host constant for the matmul-form
-    smoothing of small multigrid levels inside the fused kernels: the 2D
-    level operator is S0 ⊗ I + I ⊗ S1 (+ w0² I + diag data), so one apply
-    is two MXU matmuls S0·z + z·S1 instead of ~12 slice-RMW VPU ops —
-    small levels are sequential-op-latency bound (NOTES_ROUND2.md)."""
-    M = np.zeros((n, n))
-    for order in weights.active_orders():
-        if order == 0:
-            continue
-        taps = np.asarray(stencils.STENCIL_TAPS[order])
-        L = len(taps)
-        if n < L:
-            continue
-        B = np.zeros((n - L + 1, n))
-        for r in range(n - L + 1):
-            B[r, r:r + L] = taps
-        M += (weights.model_weight(order) ** 2) * (B.T @ B)
-    M.setflags(write=False)
-    return M
-
-
-# Levels whose extents are all <= this use matmul-form smoothing in the fused
-# kernels. At 128² the two HIGHEST-precision matmuls cost ~4M MACs (sub-µs on
-# the MXU) vs ~12 sequential VPU ops; at 256² the matmul FLOPs start to rival
-# the slice chain, and the fine level must stay in slice form anyway for the
-# CG apply (see fused_pcg_solve docstring).
-_MM_SMOOTH_MAX_DIM = 128
-
-
-@functools.lru_cache(maxsize=None)
 def _smoothness_dense_matrix(shape: tuple[int, ...], weights: Weights) -> np.ndarray:
     """Dense matrix of the smoothness normal operator on a (small) grid —
     problem-INDEPENDENT, so the coarsest-level operator assembles as
@@ -339,9 +306,8 @@ def _fused_vcycle_operands(problem, levels, taus, fine_inv_diag, inv_diags,
                            coarse_dense):
     """Materialize the per-level operands the fused 2D V-cycle/CG kernels
     take: (coeffs [3^D,*shape_l], sids = τ_l·D_l⁻¹, Rs per-axis restriction
-    matrices, inv32 dense coarsest inverse, level Weights, Ss per-level
-    matmul-form smoothness matrices — () or (S0, S1)). None if the working
-    set exceeds the VMEM budget."""
+    matrices, inv32 dense coarsest inverse, level Weights). None if the
+    working set exceeds the VMEM budget."""
     ndim = problem.grid.ndim
     shapes_all = [problem.grid.shape] + [l.shape for l in levels]
     # Fine level: full 3^D-channel data stencil; coarse levels: the data
@@ -361,20 +327,11 @@ def _fused_vcycle_operands(problem, levels, taus, fine_inv_diag, inv_diags,
                 _resize_matrix(shapes_all[i][d], shapes_all[i + 1][d]).T,
                 jnp.float32))
     inv32 = coarse_dense.astype(jnp.float32)
-    Ss = []
-    for shape_l, w_l in zip(shapes_all, lw):
-        if max(shape_l) <= _MM_SMOOTH_MAX_DIM:
-            Ss.append(tuple(
-                jnp.asarray(_axis_smoothness_matrix(shape_l[d], w_l),
-                            jnp.float32) for d in range(ndim)))
-        else:
-            Ss.append(())
     vmem_est = (sum(c.size for c in coeffs) + inv32.size
-                + sum(m.size for pair in Ss for m in pair)
                 + 3 * problem.grid.num_nodes) * 4
     if vmem_est > 12 * 1024 * 1024:
         return None
-    return coeffs, sids, Rs, inv32, lw, tuple(Ss)
+    return coeffs, sids, Rs, inv32, lw
 
 
 def build_fused_solver_operands(problem: Problem, config: SolverConfig):
@@ -535,7 +492,7 @@ def make_vcycle_preconditioner(problem: Problem, config: SolverConfig,
                                      inv_diags, coarse_dense)
         if ops is not None:
             from .ops.pallas_stencil import fused_vcycle_2d
-            coeffs, sids, Rs, inv32, lw, _Ss = ops  # fused_vcycle_2d: slice form
+            coeffs, sids, Rs, inv32, lw = ops
             return lambda r: fused_vcycle_2d(
                 r, coeffs, sids, Rs, inv32, lw, config.mg_pre_smooth,
                 config.mg_post_smooth, interpret=pallas_interpret)

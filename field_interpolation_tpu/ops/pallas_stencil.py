@@ -91,24 +91,20 @@ def _mm(a, b):
 
 
 def _kernel_body(x_ref, c_ref, o_ref, weights: Weights, ndim: int,
-                 diag_data: bool = False, smm=None):
+                 diag_data: bool = False):
     """o <- (S + data) x. ``diag_data=True``: the data term is DIAGONAL and
     ``c_ref`` is a [*shape] diagonal array — one multiply-add instead of the
     3^D offset loop. Multigrid coarse levels are always in this form; the
     offset loop there burned 3^D-1 all-zero channel ops per apply, which
     dominated small-level cost (sequential-op latency, not bandwidth).
 
-    ``smm=(S0_ref, S1_ref)`` (2D only): the smoothness part runs as TWO
-    dense per-axis MXU matmuls S0·x + x·S1 (S_d = Σ_k w_k² B_kᵀB_k along
-    axis d, a host constant) instead of ~12 sequential slice-RMW VPU ops.
-    Measured effect on v5e (256² fused PCG, A-B with the gate toggled):
-    NONE — 38.9 vs 38.7 µs/iteration. The round-2 hypothesis that small MG
-    levels cost ~20 µs of sequential-op latency came from STANDALONE
-    fused_smooth timings, which pay per-kernel launch floors that do not
-    exist in-kernel; inside the fused kernel, a HIGHEST-precision small
-    matmul costs about the same as the slice chain it replaces. Kept
-    because it is numerically identical (same iteration counts) and the
-    matrices are tiny; revisit only with a real in-kernel profile."""
+    Measured dead end, do not revisit without an in-kernel profile: running
+    the small-level smoothness as dense per-axis MXU matmuls (2 matmuls vs
+    ~12 slice-RMW VPU ops) was built and A-B'd on v5e in round 3 — 38.9 vs
+    38.7 µs/iteration, NO effect (the "small-level sequential-op latency"
+    attribution came from standalone kernel timings, whose launch floors
+    don't exist in-kernel); bf16 matmuls doubled the iteration count.
+    See NOTES_ROUND3.md item 5."""
     shape = x_ref.shape
     # Initialize with the order-0 term (emitted once per node).
     if 0 in weights.active_orders():
@@ -116,33 +112,29 @@ def _kernel_body(x_ref, c_ref, o_ref, weights: Weights, ndim: int,
     else:
         o_ref[...] = jnp.zeros(shape, x_ref.dtype)
 
-    if smm is not None:
-        o_ref[...] += _mm(smm[0][...], x_ref[...])
-        o_ref[...] += _mm(x_ref[...], smm[1][...])
-    else:
-        # Smoothness: per axis/order, valid-correlate then transposed full
-        # conv, all as static slices (w² BᵀB, dropped-row boundaries exact).
-        for order in weights.active_orders():
-            if order == 0:
+    # Smoothness: per axis/order, valid-correlate then transposed full
+    # conv, all as static slices (w² BᵀB, dropped-row boundaries exact).
+    for order in weights.active_orders():
+        if order == 0:
+            continue
+        taps = stencils.STENCIL_TAPS[order]
+        L = len(taps)
+        w2 = weights.model_weight(order) ** 2
+        for ax in range(ndim):
+            n = shape[ax]
+            if n < L:
                 continue
-            taps = stencils.STENCIL_TAPS[order]
-            L = len(taps)
-            w2 = weights.model_weight(order) ** 2
-            for ax in range(ndim):
-                n = shape[ax]
-                if n < L:
-                    continue
-                m = n - L + 1
-                y = None
-                for k, s in enumerate(taps):
-                    sl = [slice(None)] * ndim
-                    sl[ax] = slice(k, k + m)
-                    t = s * x_ref[tuple(sl)]
-                    y = t if y is None else y + t
-                for k, s in enumerate(taps):
-                    sl = [slice(None)] * ndim
-                    sl[ax] = slice(k, k + m)
-                    o_ref[tuple(sl)] += (w2 * s) * y
+            m = n - L + 1
+            y = None
+            for k, s in enumerate(taps):
+                sl = [slice(None)] * ndim
+                sl[ax] = slice(k, k + m)
+                t = s * x_ref[tuple(sl)]
+                y = t if y is None else y + t
+            for k, s in enumerate(taps):
+                sl = [slice(None)] * ndim
+                sl[ax] = slice(k, k + m)
+                o_ref[tuple(sl)] += (w2 * s) * y
 
     # Data term: diagonal (coarse levels) or the full 3^D offset stencil.
     if diag_data:
@@ -354,14 +346,17 @@ def fused_normal_apply_striped(x: jax.Array, coeff: jax.Array,
 
 
 def ext_fits_vmem(local_shape: tuple[int, ...], radius: int,
-                  itemsize: int = 4) -> bool:
-    """Whole-extended-block VMEM check for the sharded fused apply."""
+                  itemsize: int = 4, diag_data: bool = False) -> bool:
+    """Whole-extended-block VMEM check for the sharded fused apply.
+    ``diag_data``: the coefficient operand is a bare diagonal (distributed-MG
+    coarse levels) instead of the 3^D-channel tensor — ONE budget constant
+    for both forms, including the _HAVE_PALLAS guard."""
     import math
     if len(local_shape) < 2:
         return False
     ext = math.prod(n + 2 * radius for n in local_shape)
     n = math.prod(local_shape)
-    channels = 3 ** len(local_shape)
+    channels = 1 if diag_data else 3 ** len(local_shape)
     return _HAVE_PALLAS and ((ext + (channels + 1) * n) * itemsize
                              <= _VMEM_BUDGET_BYTES)
 
@@ -897,13 +892,13 @@ def fused_smooth_tiled(r: jax.Array, z: jax.Array, coeff: jax.Array,
 
 
 def _smooth_inplace(z_ref, r_ref, c_ref, sid_ref, az_ref, weights, ndim,
-                    sweeps, from_zero, diag_data=False, smm=None):
+                    sweeps, from_zero, diag_data=False):
     """z <- z + sid*(r - A z), `sweeps` times (sid = tau*D^-1)."""
     if from_zero:
         z_ref[...] = sid_ref[...] * r_ref[...]
         sweeps = sweeps - 1
     for _ in range(sweeps):
-        _kernel_body(z_ref, c_ref, az_ref, weights, ndim, diag_data, smm)
+        _kernel_body(z_ref, c_ref, az_ref, weights, ndim, diag_data)
         z_ref[...] = z_ref[...] + sid_ref[...] * (r_ref[...] - az_ref[...])
 
 
@@ -1222,21 +1217,16 @@ def _coarse_solve_inkernel(inv4, rc):
 
 
 def _vcycle_refs(r0_ref, z_refs, r_scr, az_refs, c_refs, sid_refs, R_refs,
-                 inv_ref, level_weights, nu, S_refs=None):
+                 inv_ref, level_weights, nu):
     """Symmetric V-cycle on kernel refs: reads the residual from ``r0_ref``,
-    leaves the correction in ``z_refs[0]``. Used by fused_pcg_solve.
-    ``S_refs``: per level, None or (S0_ref, S1_ref) dense per-axis
-    smoothness matrices (matmul-form smoothing — see _kernel_body)."""
+    leaves the correction in ``z_refs[0]``. Used by fused_pcg_solve."""
     L = len(c_refs)
-    if S_refs is None:
-        S_refs = [None] * L
     r_all = (r0_ref,) + tuple(r_scr)
     for l in range(L - 1):
         _smooth_inplace(z_refs[l], r_all[l], c_refs[l], sid_refs[l],
-                        az_refs[l], level_weights[l], 2, nu, True, l > 0,
-                        S_refs[l])
+                        az_refs[l], level_weights[l], 2, nu, True, l > 0)
         _kernel_body(z_refs[l], c_refs[l], az_refs[l], level_weights[l], 2,
-                     l > 0, S_refs[l])
+                     l > 0)
         res = r_all[l][...] - az_refs[l][...]
         R0 = R_refs[2 * l][...]
         R1 = R_refs[2 * l + 1][...]
@@ -1248,12 +1238,11 @@ def _vcycle_refs(r0_ref, z_refs, r_scr, az_refs, c_refs, sid_refs, R_refs,
         R1 = R_refs[2 * l + 1][...]
         z_refs[l][...] += _mm(_mm(R0.T, z_refs[l + 1][...]), R1)
         _smooth_inplace(z_refs[l], r_all[l], c_refs[l], sid_refs[l],
-                        az_refs[l], level_weights[l], 2, nu, False, l > 0,
-                        S_refs[l])
+                        az_refs[l], level_weights[l], 2, nu, False, l > 0)
 
 
 def fused_pcg_solve(x, r, tol2, iter_budget, coeffs, sids, Rs, inv_c,
-                    level_weights, nu, interpret=False, Ss=None):
+                    level_weights, nu, interpret=False):
     """One safeguard SEGMENT of MG-PCG entirely inside ONE Pallas kernel.
 
     z = V(r); p = z; then a lax.while_loop of full CG iterations (operator
@@ -1266,23 +1255,13 @@ def fused_pcg_solve(x, r, tol2, iter_budget, coeffs, sids, Rs, inv_c,
     so the stopping guarantee is unchanged.
 
     x, r: current iterate and its TRUE residual [n0, n1]. tol2, iter_budget:
-    (1,1) f32 / i32 scalars. ``Ss``: per level, () or (S0, S1) dense
-    per-axis smoothness matrices — levels with matrices smooth via MXU
-    matmuls instead of slice-RMW chains (see _kernel_body; cuts the
-    sequential-op-latency tail on small levels). The CG operator apply
-    itself always stays in exact slice form: A must match the caller's
-    verification apply bit-for-bit in structure, the preconditioner only
-    needs to be a fixed SPD linear map. Returns (x_out, iters (1,1) i32,
-    rr (1,1) f32).
+    (1,1) f32 / i32 scalars. Returns (x_out, iters (1,1) i32, rr (1,1) f32).
     """
     L = len(coeffs)
-    if Ss is None:
-        Ss = ((),) * L
     shapes = ([coeffs[0].shape[1:]]
               + [c.shape for c in coeffs[1:]])  # coarse = diag data
     nc0, nc1 = shapes[-1]
     inv4 = inv_c.reshape(nc0, nc1, nc0, nc1)
-    S_flat = [m for pair in Ss for m in pair]
 
     def kernel(*refs):
         cur = [0]
@@ -1298,7 +1277,6 @@ def fused_pcg_solve(x, r, tol2, iter_budget, coeffs, sids, Rs, inv_c,
         sid_refs = take(L)
         R_refs = take(2 * (L - 1))
         (inv_ref,) = take(1)
-        S_refs = [take(2) if len(pair) else None for pair in Ss]
         (xo_ref, ko_ref, rro_ref) = take(3)        # outputs
         (rw_ref, p_ref) = take(2)                  # working r / search dir
         z_refs = take(L)
@@ -1308,7 +1286,7 @@ def fused_pcg_solve(x, r, tol2, iter_budget, coeffs, sids, Rs, inv_c,
         xo_ref[...] = x_ref[...]
         rw_ref[...] = r_ref[...]
         _vcycle_refs(rw_ref, z_refs, r_scr, az_refs, c_refs, sid_refs,
-                     R_refs, inv_ref, level_weights, nu, S_refs)
+                     R_refs, inv_ref, level_weights, nu)
         p_ref[...] = z_refs[0][...]
         rz0 = jnp.sum(rw_ref[...] * z_refs[0][...])
         rr0 = jnp.sum(rw_ref[...] * rw_ref[...])
@@ -1329,7 +1307,7 @@ def fused_pcg_solve(x, r, tol2, iter_budget, coeffs, sids, Rs, inv_c,
             rw_ref[...] -= alpha * Ap
             rr_new = jnp.sum(rw_ref[...] * rw_ref[...])
             _vcycle_refs(rw_ref, z_refs, r_scr, az_refs, c_refs, sid_refs,
-                         R_refs, inv_ref, level_weights, nu, S_refs)
+                         R_refs, inv_ref, level_weights, nu)
             z0 = z_refs[0][...]
             rz_new = jnp.sum(rw_ref[...] * z0)
             beta = jnp.where(rz > 0, rz_new / rz, 0.0)
@@ -1341,7 +1319,7 @@ def fused_pcg_solve(x, r, tol2, iter_budget, coeffs, sids, Rs, inv_c,
         ko_ref[0, 0] = k
         rro_ref[0, 0] = rr
 
-    vins = (x, r, *coeffs, *sids, *Rs, inv4, *S_flat)
+    vins = (x, r, *coeffs, *sids, *Rs, inv4)
     in_specs = ([_wspec((1, 1), pltpu.SMEM)] * 2
                 + [_wspec(a.shape) for a in vins])
     out_shape = (jax.ShapeDtypeStruct(shapes[0], jnp.float32),
@@ -1363,7 +1341,7 @@ def fused_pcg_solve(x, r, tol2, iter_budget, coeffs, sids, Rs, inv_c,
                         + [pltpu.VMEM(shapes[l], jnp.float32)
                            for l in range(L - 1)]),
         interpret=interpret,
-    )(tol2, iter_budget, x, r, *coeffs, *sids, *Rs, inv4, *S_flat)
+    )(tol2, iter_budget, x, r, *coeffs, *sids, *Rs, inv4)
     return outs
 
 # ---------------------------------------------------------------------------

@@ -529,9 +529,11 @@ def _make_mg_precond(plan: _MGPlan, ops, apply_fn, diag_l, mesh: Mesh,
         return jnp.stack([_axis_idx(d) * local_shape[d] for d in range(nd)])
 
     def _diag_ext_fits(local_shape, radius):
-        import math
-        ext = math.prod(n + 2 * radius for n in local_shape)
-        return (ext + 2 * math.prod(local_shape)) * 4 <= 8 * 1024 * 1024
+        # Centralized budget (incl. the _HAVE_PALLAS guard — without it a
+        # pallas-less install would NameError inside shard_map instead of
+        # falling back to the XLA sweeps).
+        from ..ops.pallas_stencil import ext_fits_vmem
+        return ext_fits_vmem(local_shape, radius, diag_data=True)
 
     def _fused_level_apply(x, dd, weights_l, S_l, radius):
         """(S + diag) x on a sharded level via the fused ext kernel."""

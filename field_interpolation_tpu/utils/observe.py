@@ -38,13 +38,15 @@ def roofline_bytes_per_apply(grid: Grid, dtype_bytes: int = 4) -> int:
 
 def vcycle_applies_per_iteration(nu_pre: int = 3, nu_post: int = 3) -> float:
     """Fine-apply-equivalents per MG-PCG iteration for record_solve's traffic
-    model: each pre/post smoothing sweep reads the fine operator once, plus
-    one residual apply for the restriction and one CG operator apply; coarse
-    levels add a geometric tail (≤ 1/4 + 1/16 + … = 1/3 of the fine work in
-    2D, counted on the smoothing+restriction part). Transfers are ignored
-    (banded gathers, ~O(N) but far below an apply), so this is still a mild
-    lower bound — the honest default for MG call sites instead of 1.0."""
-    return (nu_pre + nu_post + 1) * (4.0 / 3.0) + 1.0
+    model: the from-zero first pre-smooth sweep performs NO operator apply
+    (z = τD⁻¹r), so a V-cycle does (nu_pre − 1) smoothing applies down,
+    one residual apply for the restriction, and nu_post applies up, plus
+    one CG operator apply outside; coarse levels add a geometric tail
+    (≤ 1/4 + 1/16 + … = 1/3 of the fine work in 2D, counted on the
+    smoothing+restriction part). Transfers are ignored (banded gathers,
+    ~O(N) but far below an apply), so this is still a mild lower bound —
+    the honest default for MG call sites instead of 1.0."""
+    return (nu_pre + nu_post) * (4.0 / 3.0) + 1.0
 
 
 @dataclasses.dataclass
