@@ -417,9 +417,33 @@ def make_vcycle_preconditioner(problem: Problem, config: SolverConfig,
         from .ops.pallas_stencil import (fits_vmem, fused_smooth,
                                          fused_smooth_striped,
                                          fused_smooth_tiled,
+                                         fused_sweep_striped2_3d,
                                          pick_stripe_smooth,
+                                         pick_stripe2_3d_sweep,
                                          pick_tile_smooth)
         from .stencils import max_stencil_radius
+
+        def _sweep3d_smoother(coeff_diag, sid, weights_l, tiles):
+            """Per-sweep fused smoothing for beyond-VMEM 3D DIAG levels:
+            every 3D fine level is lumped (diag) there, so each XLA sweep
+            was ~18 separate shift ops over the full arrays — the dominant
+            256³ V-cycle cost. One fused two-axis-striped kernel per sweep
+            is near the traffic floor for a 1-channel data term (see
+            fused_sweep_striped2_3d)."""
+            c32 = coeff_diag.astype(jnp.float32)
+            s32 = sid.astype(jnp.float32)
+
+            def sm(r, z, sweeps, from_zero):
+                if from_zero:
+                    z = s32 * r  # apply(0) == 0
+                    sweeps = sweeps - 1
+                for _ in range(sweeps):
+                    z = fused_sweep_striped2_3d(r, z, c32, s32, weights_l,
+                                                tiles,
+                                                interpret=pallas_interpret)
+                return z
+
+            return sm
         smoothers = []
         for li in range(len(levels) + 1):
             if li == 0:
@@ -439,7 +463,7 @@ def make_vcycle_preconditioner(problem: Problem, config: SolverConfig,
                 # Beyond-VMEM fine level (2D, full data stencil): multi-sweep
                 # striped smoother — the 9-channel coeff block is read once
                 # per smoothing phase instead of once per sweep.
-                T = T2 = None
+                T = T2 = T3 = None
                 if li == 0 and ndim == 2 and not lump:
                     rad = max(max_stencil_radius(weights_l), 1)
                     nu_max = max(config.mg_pre_smooth, config.mg_post_smooth)
@@ -448,7 +472,12 @@ def make_vcycle_preconditioner(problem: Problem, config: SolverConfig,
                         # 4096-wide grids: the full-width striped footprint
                         # exceeds VMEM; tile BOTH axes (VERDICT r2 item 6).
                         T2 = pick_tile_smooth(shape_l, rad, nu_max)
-                if T is not None:
+                elif ndim == 3 and diag_l:
+                    T3 = pick_stripe2_3d_sweep(shape_l)
+                if T3 is not None:
+                    smoothers.append(_sweep3d_smoother(coeff_l, sid,
+                                                       weights_l, T3))
+                elif T is not None:
                     smoothers.append(functools.partial(
                         fused_smooth_striped,
                         coeff=coeff_l.astype(jnp.float32),

@@ -1504,3 +1504,153 @@ def fused_normal_apply_striped2_3d(x: jax.Array, coeff: jax.Array,
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(*([x] * 9), coeff)
+
+
+def pick_stripe2_3d_sweep(shape: tuple[int, ...], itemsize: int = 4):
+    """(T0, T1) tile for the fused 3D DIAG-data Jacobi sweep, or None.
+    Inputs per program: 9 clamped z views tiling (E0, E1, n2) plus r/sid/
+    cdiag/out center blocks, double-buffered by Mosaic."""
+    if len(shape) != 3:
+        return None
+    n2 = shape[2]
+    for T0 in (16, 8, 4):
+        for T1 in (64, 32, 16, 8):
+            if shape[0] % T0 or shape[1] % T1 or T0 < _H0_3D or T1 < _H1_3D:
+                continue
+            E0, E1 = T0 + 2 * _H0_3D, T1 + 2 * _H1_3D
+            est = (2 * (E0 * E1 + 4 * T0 * T1) + E0 * E1) * n2 * itemsize
+            if est <= _VMEM_BUDGET_BYTES:
+                return (T0, T1)
+    return None
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("weights", "tiles", "interpret"))
+def fused_sweep_striped2_3d(r: jax.Array, z: jax.Array, cdiag: jax.Array,
+                            scaled_inv_diag: jax.Array, weights: Weights,
+                            tiles: tuple[int, int],
+                            interpret: bool = False) -> jax.Array:
+    """ONE damped-Jacobi sweep z + τD⁻¹(r − (S + diag c) z) for 3D
+    DIAG-data levels too large for whole-VMEM residency, as a two-axis
+    striped kernel (same tiling/mask scheme as the striped2_3d apply).
+
+    Why per-sweep, not multi-sweep: the multi-sweep trick amortizes the
+    3^D-channel coeff reads; DIAG levels read only one coefficient plane,
+    so a single fused pass (z at ~1.9× halo amplification + r/sid/c/out at
+    1×, ≈ 24 B/element) is already near the traffic floor — vs the XLA
+    path's ~18 separate shift ops over the full arrays per sweep, which is
+    what dominated the 256³ V-cycle (the fine level is LUMPED in 3D, so
+    every fine smoothing sweep was XLA). Out-of-global halo garbage is
+    neutralized by the global window masks; the diagonal data term only
+    reads the center block, so it needs no masking at all."""
+    T0, T1 = tiles
+    h0, h1 = _H0_3D, _H1_3D
+    n0, n1, n2 = z.shape
+    g0, g1 = n0 // T0, n1 // T1
+    hb0, hb1 = T0 // h0, T1 // h1
+
+    def spec(rowkind, colkind):
+        b0 = h0 if rowkind != "c" else T0
+        b1 = h1 if colkind != "c" else T1
+
+        def imap(i, j):
+            if rowkind == "c":
+                i0 = i
+            elif rowkind == "p":
+                i0 = jnp.maximum(i * hb0 - 1, 0)
+            else:
+                i0 = jnp.minimum(i * hb0 + hb0, g0 * hb0 - 1)
+            if colkind == "c":
+                j0 = j
+            elif colkind == "p":
+                j0 = jnp.maximum(j * hb1 - 1, 0)
+            else:
+                j0 = jnp.minimum(j * hb1 + hb1, g1 * hb1 - 1)
+            return (i0, j0, _z())
+
+        return pl.BlockSpec((b0, b1, n2), imap, memory_space=pltpu.VMEM)
+
+    kinds = [("p", "p"), ("p", "c"), ("p", "n"),
+             ("c", "p"), ("c", "c"), ("c", "n"),
+             ("n", "p"), ("n", "c"), ("n", "n")]
+    cblk = pl.BlockSpec((T0, T1, n2), lambda i, j: (i, j, _z()),
+                        memory_space=pltpu.VMEM)
+
+    def kernel(*refs):
+        zb = refs[:9]
+        r_ref, c_ref, sid_ref = refs[9:12]
+        o_ref = refs[12]
+        rows = []
+        for q in range(3):
+            rows.append(jnp.concatenate(
+                [zb[3 * q + 0][...], zb[3 * q + 1][...], zb[3 * q + 2][...]],
+                axis=1))
+        ext = jnp.concatenate(rows, axis=0)  # (T0+2h0, T1+2h1, n2)
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        base0 = i * T0
+        base1 = j * T1
+        zc = zb[4][...]
+
+        # az accumulates in o_ref (same pattern as the striped2_3d apply).
+        if 0 in weights.active_orders():
+            o_ref[...] = (weights.model_0 ** 2) * zc
+        else:
+            o_ref[...] = jnp.zeros(o_ref.shape, o_ref.dtype)
+
+        for order in weights.active_orders():
+            if order == 0:
+                continue
+            taps = stencils.STENCIL_TAPS[order]
+            L = len(taps)
+            w2 = weights.model_weight(order) ** 2
+
+            for ax, h, base, n_glob, T in ((0, h0, base0, n0, T0),
+                                           (1, h1, base1, n1, T1)):
+                if n_glob < L:
+                    continue
+                view = ext
+                other = 1 - ax
+                oh = h1 if other == 1 else h0
+                oT = T1 if other == 1 else T0
+                sl = [slice(None)] * 3
+                sl[other] = slice(oh, oh + oT)
+                view = view[tuple(sl)]
+                m = view.shape[ax] - L + 1
+                y = None
+                for k, s in enumerate(taps):
+                    sk = [slice(None)] * 3
+                    sk[ax] = slice(k, k + m)
+                    t = s * view[tuple(sk)]
+                    y = t if y is None else y + t
+                win_g = (base - h) + jax.lax.broadcasted_iota(
+                    jnp.int32, y.shape, ax)
+                y = jnp.where((win_g >= 0) & (win_g <= n_glob - L), y, 0.0)
+                for k, s in enumerate(taps):
+                    so = [slice(None)] * 3
+                    so[ax] = slice(h - k, h - k + T)
+                    o_ref[...] += (w2 * s) * y[tuple(so)]
+
+            n = n2
+            if n >= L:
+                m = n - L + 1
+                y = None
+                for k, s in enumerate(taps):
+                    t = s * zc[:, :, k:k + m]
+                    y = t if y is None else y + t
+                for k, s in enumerate(taps):
+                    o_ref[:, :, k:k + m] += (w2 * s) * y
+
+        # Diagonal data term + the fused Jacobi update.
+        o_ref[...] += c_ref[...] * zc
+        o_ref[...] = zc + sid_ref[...] * (r_ref[...] - o_ref[...])
+
+    return pl.pallas_call(
+        kernel,
+        grid=(g0, g1),
+        out_shape=jax.ShapeDtypeStruct(z.shape, z.dtype),
+        in_specs=[spec(rk, ck) for rk, ck in kinds] + [cblk, cblk, cblk],
+        out_specs=pl.BlockSpec((T0, T1, n2), lambda i, j: (i, j, _z()),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(*([z] * 9), r, cdiag, scaled_inv_diag)

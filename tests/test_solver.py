@@ -540,3 +540,30 @@ def test_fused_smooth_tiled_matches_sweeps(rng, from_zero):
                                from_zero=from_zero, interpret=True)
     np.testing.assert_allclose(np.asarray(z_got), np.asarray(z_ref),
                                rtol=0, atol=2e-5)
+
+
+def test_fused_sweep_striped2_3d_matches_xla(rng):
+    """Per-sweep fused 3D diag-data Jacobi kernel (two-axis striped) ≡ the
+    XLA lumped sweep, including inter-tile seams and global-edge masks."""
+    from field_interpolation_tpu import stencils
+    from field_interpolation_tpu.constraints import data_diag
+    from field_interpolation_tpu.ops.pallas_stencil import (
+        fused_sweep_striped2_3d)
+    grid = Grid((32, 64, 128))
+    weights = Weights(model_1=0.2, model_2=1.0)
+    n = 200
+    pos = jnp.asarray(rng.uniform(0, np.asarray(grid.shape) - 1, (n, 3)),
+                      jnp.float32)
+    vals = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    problem = assemble_problem(grid, weights, pos, vals)
+    dd = data_diag(problem.coeff, 3)
+    r = jnp.asarray(rng.standard_normal(grid.shape), jnp.float32)
+    z = jnp.asarray(rng.standard_normal(grid.shape), jnp.float32)
+    sid = jnp.where(problem.diag > 0, 0.3 / problem.diag, 1.0
+                    ).astype(jnp.float32)
+    az = stencils.smoothness_apply(z, weights, 3) + dd * z
+    want = z + sid * (r - az)
+    got = fused_sweep_striped2_3d(r, z, dd, sid, weights, tiles=(8, 16),
+                                  interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=2e-5)
