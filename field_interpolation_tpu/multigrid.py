@@ -417,18 +417,21 @@ def make_vcycle_preconditioner(problem: Problem, config: SolverConfig,
         from .ops.pallas_stencil import (fits_vmem, fused_smooth,
                                          fused_smooth_striped,
                                          fused_smooth_tiled,
+                                         fused_sweep_striped_diag,
                                          fused_sweep_striped2_3d,
                                          pick_stripe_smooth,
+                                         pick_stripe_sweep_diag,
                                          pick_stripe2_3d_sweep,
                                          pick_tile_smooth)
         from .stencils import max_stencil_radius
 
-        def _sweep3d_smoother(coeff_diag, sid, weights_l, tiles):
-            """Per-sweep fused smoothing for beyond-VMEM 3D DIAG levels:
-            every 3D fine level is lumped (diag) there, so each XLA sweep
-            was ~18 separate shift ops over the full arrays — the dominant
-            256³ V-cycle cost. One fused two-axis-striped kernel per sweep
-            is near the traffic floor for a 1-channel data term (see
+        def _persweep_smoother(kernel_fn, coeff_diag, sid, weights_l, tile):
+            """Per-sweep fused smoothing for beyond-VMEM DIAG levels (3D
+            lumped fine + all large diag coarse levels): each XLA sweep
+            there is ~15-18 separate shift passes over the full arrays —
+            the dominant 256³ V-cycle cost and a measurable slice of the
+            4096² one. One fused striped kernel per sweep is near the
+            traffic floor for a 1-channel data term (see
             fused_sweep_striped2_3d)."""
             c32 = coeff_diag.astype(jnp.float32)
             s32 = sid.astype(jnp.float32)
@@ -438,9 +441,8 @@ def make_vcycle_preconditioner(problem: Problem, config: SolverConfig,
                     z = s32 * r  # apply(0) == 0
                     sweeps = sweeps - 1
                 for _ in range(sweeps):
-                    z = fused_sweep_striped2_3d(r, z, c32, s32, weights_l,
-                                                tiles,
-                                                interpret=pallas_interpret)
+                    z = kernel_fn(r, z, c32, s32, weights_l, tile,
+                                  interpret=pallas_interpret)
                 return z
 
             return sm
@@ -459,10 +461,11 @@ def make_vcycle_preconditioner(problem: Problem, config: SolverConfig,
                 coeff_l = lvl.data_diag
                 weights_l = lvl.weights
                 sid = taus[li] * inv_diags[li - 1]
-            if not fits_vmem(shape_l):
+            if not fits_vmem(shape_l, diag_data=diag_l):
                 # Beyond-VMEM fine level (2D, full data stencil): multi-sweep
                 # striped smoother — the 9-channel coeff block is read once
-                # per smoothing phase instead of once per sweep.
+                # per smoothing phase instead of once per sweep. DIAG levels
+                # (3D lumped fine, large coarse): per-sweep striped kernels.
                 T = T2 = T3 = None
                 if li == 0 and ndim == 2 and not lump:
                     rad = max(max_stencil_radius(weights_l), 1)
@@ -474,9 +477,13 @@ def make_vcycle_preconditioner(problem: Problem, config: SolverConfig,
                         T2 = pick_tile_smooth(shape_l, rad, nu_max)
                 elif ndim == 3 and diag_l:
                     T3 = pick_stripe2_3d_sweep(shape_l)
+                elif ndim == 2 and diag_l:
+                    T3 = pick_stripe_sweep_diag(shape_l)
                 if T3 is not None:
-                    smoothers.append(_sweep3d_smoother(coeff_l, sid,
-                                                       weights_l, T3))
+                    kfn = (fused_sweep_striped2_3d if ndim == 3
+                           else fused_sweep_striped_diag)
+                    smoothers.append(_persweep_smoother(kfn, coeff_l, sid,
+                                                        weights_l, T3))
                 elif T is not None:
                     smoothers.append(functools.partial(
                         fused_smooth_striped,

@@ -76,13 +76,20 @@ def _z():
     return jnp.int32(0)
 
 
-def fits_vmem(shape: tuple[int, ...], itemsize: int = 4) -> bool:
+def fits_vmem(shape: tuple[int, ...], itemsize: int = 4,
+              diag_data: bool = False) -> bool:
+    """``diag_data``: the data term is a single diagonal plane (multigrid
+    coarse levels / the lumped fine operator) instead of 3^D channels — a
+    512² diag level fits whole-VMEM where the full-channel form would not."""
     import math
     if len(shape) < 2:
         return False  # rank-1 kernels are untested on hardware; XLA handles 1D
     n = math.prod(shape)
-    channels = 3 ** len(shape)
-    return _HAVE_PALLAS and (n * (channels + 2) * itemsize <= _VMEM_BUDGET_BYTES)
+    channels = 1 if diag_data else 3 ** len(shape)
+    # diag smoothing keeps r/z/c/sid/az/out live -> a slightly larger factor.
+    extra = 5 if diag_data else 2
+    return _HAVE_PALLAS and (n * (channels + extra) * itemsize
+                             <= _VMEM_BUDGET_BYTES)
 
 
 def _mm(a, b):
@@ -1654,3 +1661,103 @@ def fused_sweep_striped2_3d(r: jax.Array, z: jax.Array, cdiag: jax.Array,
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(*([z] * 9), r, cdiag, scaled_inv_diag)
+
+
+def pick_stripe_sweep_diag(shape: tuple[int, ...], itemsize: int = 4):
+    """Stripe T for the 2D per-sweep DIAG-data Jacobi kernel, or None.
+    Per program: z halo-extended views tiling (T+2h, n1), r/c/sid/out center
+    blocks, double-buffered by Mosaic."""
+    if len(shape) != 2:
+        return None
+    n1 = shape[1]
+    h = _H_EXT
+    for T in (256, 128, 64, 32, 16, 8):
+        if shape[0] % T or T % h:
+            continue
+        E = T + 2 * h
+        est = (2 * (E + 3 * T) + T) * n1 * itemsize
+        if est <= _VMEM_BUDGET_BYTES:
+            return T
+    return None
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("weights", "stripe", "interpret"))
+def fused_sweep_striped_diag(r: jax.Array, z: jax.Array, cdiag: jax.Array,
+                             scaled_inv_diag: jax.Array, weights: Weights,
+                             stripe: int,
+                             interpret: bool = False) -> jax.Array:
+    """ONE damped-Jacobi sweep z + τD⁻¹(r − (S + diag c) z) for 2D
+    DIAG-data levels too large for whole-VMEM residency (the 1024²/2048²
+    coarse levels of a 4096² V-cycle — each XLA sweep there is ~15 separate
+    shift passes). Single-axis striping with the same clamped halo blocks
+    and global axis-0 window masks as fused_normal_apply_striped; the
+    per-sweep (not multi-sweep) form is near the traffic floor for a
+    1-channel data term (see fused_sweep_striped2_3d)."""
+    T = stripe
+    h = _H_EXT
+    n0, n1 = z.shape
+    n_blocks = n0 // T
+    hb = T // h
+
+    def prev_map(i):
+        return (jnp.maximum(i * hb - 1, 0), _z())
+
+    def next_map(i):
+        return (jnp.minimum(i * hb + hb, n_blocks * hb - 1), _z())
+
+    blk_h = pl.BlockSpec((h, n1), prev_map, memory_space=pltpu.VMEM)
+    blk_hn = pl.BlockSpec((h, n1), next_map, memory_space=pltpu.VMEM)
+    blk_T = pl.BlockSpec((T, n1), lambda i: (i, _z()),
+                         memory_space=pltpu.VMEM)
+
+    def kernel(zp, zc, zn, r_ref, c_ref, sid_ref, o_ref):
+        ext = jnp.concatenate([zp[...], zc[...], zn[...]], axis=0)
+        i = pl.program_id(0)
+        row0_global = i * T
+        z_mid = zc[...]
+
+        if 0 in weights.active_orders():
+            o_ref[...] = (weights.model_0 ** 2) * z_mid
+        else:
+            o_ref[...] = jnp.zeros(o_ref.shape, o_ref.dtype)
+
+        for order in weights.active_orders():
+            if order == 0:
+                continue
+            taps = stencils.STENCIL_TAPS[order]
+            L = len(taps)
+            w2 = weights.model_weight(order) ** 2
+
+            if n0 >= L:
+                m = T + 2 * h - L + 1
+                y = None
+                for k, s in enumerate(taps):
+                    t = s * ext[k:k + m]
+                    y = t if y is None else y + t
+                win_g = (row0_global - h) + jax.lax.broadcasted_iota(
+                    jnp.int32, y.shape, 0)
+                y = jnp.where((win_g >= 0) & (win_g <= n0 - L), y, 0.0)
+                for k, s in enumerate(taps):
+                    o_ref[...] += (w2 * s) * y[h - k:h - k + T]
+
+            if n1 >= L:
+                m = n1 - L + 1
+                y = None
+                for k, s in enumerate(taps):
+                    t = s * z_mid[:, k:k + m]
+                    y = t if y is None else y + t
+                for k, s in enumerate(taps):
+                    o_ref[:, k:k + m] += (w2 * s) * y
+
+        o_ref[...] += c_ref[...] * z_mid
+        o_ref[...] = z_mid + sid_ref[...] * (r_ref[...] - o_ref[...])
+
+    return pl.pallas_call(
+        kernel,
+        grid=(n_blocks,),
+        out_shape=jax.ShapeDtypeStruct(z.shape, z.dtype),
+        in_specs=[blk_h, blk_T, blk_hn, blk_T, blk_T, blk_T],
+        out_specs=blk_T,
+        interpret=interpret,
+    )(z, z, z, r, cdiag, scaled_inv_diag)

@@ -567,3 +567,30 @@ def test_fused_sweep_striped2_3d_matches_xla(rng):
                                   interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=0, atol=2e-5)
+
+
+def test_fused_sweep_striped_diag_2d_matches_xla(rng):
+    """Per-sweep fused 2D diag-data Jacobi kernel (single-axis striped) ≡
+    the XLA lumped sweep, incl. stripe seams and global-edge masks."""
+    from field_interpolation_tpu import stencils
+    from field_interpolation_tpu.constraints import data_diag
+    from field_interpolation_tpu.ops.pallas_stencil import (
+        fused_sweep_striped_diag)
+    grid = Grid((64, 96))
+    weights = Weights(model_1=0.2, model_2=1.0)
+    n = 150
+    pos = jnp.asarray(rng.uniform(0, np.asarray(grid.shape) - 1, (n, 2)),
+                      jnp.float32)
+    vals = jnp.asarray(rng.standard_normal(n), jnp.float32)
+    problem = assemble_problem(grid, weights, pos, vals)
+    dd = data_diag(problem.coeff, 2)
+    r = jnp.asarray(rng.standard_normal(grid.shape), jnp.float32)
+    z = jnp.asarray(rng.standard_normal(grid.shape), jnp.float32)
+    sid = jnp.where(problem.diag > 0, 0.3 / problem.diag, 1.0
+                    ).astype(jnp.float32)
+    az = stencils.smoothness_apply(z, weights, 2) + dd * z
+    want = z + sid * (r - az)
+    got = fused_sweep_striped_diag(r, z, dd, sid, weights, stripe=8,
+                                   interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=0, atol=2e-5)
