@@ -143,12 +143,27 @@ class PreciseProblem:
         return d.reshape(self.grid.shape) - s
 
     def apply64_delta(self, d: jax.Array) -> jax.Array:
-        """A d for a refinement CORRECTION d, with the fast hi/lo fp32
-        matmul scatter: the scattered values B d scale with ‖d‖, which
-        shrinks geometrically over rounds, so the fp32-accumulation error
-        (∝ the scattered values) self-scales far below the honesty bar —
-        unlike a full-residual evaluation (see residual64)."""
-        s = stencils.smoothness_apply(d, self.weights, self.grid.ndim)
+        """A d for a refinement CORRECTION d, with hi/lo fp32 arithmetic
+        where it self-scales: every error here is ∝ ‖d‖, which shrinks
+        geometrically over rounds (round 1 is peeled through the EXACT
+        residual64), so the fp32 errors land orders below the honesty bar —
+        unlike a full-residual evaluation (see residual64).
+
+        * data term — fast hi/lo fp32 matmul scatter (error ∝ the scattered
+          values B d);
+        * smoothness — two fp32 applies on the exact split d = hi + lo
+          instead of one software-emulated f64 apply (~24 emulated ops on
+          the whole grid per refinement round; the fp32 rounding error is
+          ~2⁻²⁴·‖S‖·‖d‖, the same self-scaling class as the scatter —
+          verified by test_refined_reported_residual_is_true_256's 2%
+          report-vs-oracle bar)."""
+        hi = d.astype(jnp.float32)
+        lo = (d - hi).astype(jnp.float32)
+        nd = self.grid.ndim
+        s = (stencils.smoothness_apply(hi, self.weights, nd)
+             .astype(jnp.float64)
+             + stencils.smoothness_apply(lo, self.weights, nd)
+             .astype(jnp.float64))
         contrib = self._row_contrib(self._rows_apply(d))
         if cons.use_matmul_scatter(self.grid, self.corner_idx.shape[0]):
             return s + cons.scatter_corners_hilo(self.grid,
