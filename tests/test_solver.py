@@ -542,7 +542,11 @@ def test_fused_smooth_tiled_matches_sweeps(rng, from_zero):
                                rtol=0, atol=2e-5)
 
 
-def test_fused_sweep_striped2_3d_matches_xla(rng):
+@pytest.mark.parametrize("weights", [
+    Weights(model_1=0.2, model_2=1.0),
+    Weights(model_2=0.5, model_3=0.8),   # radius-3 stencil through the halo
+])
+def test_fused_sweep_striped2_3d_matches_xla(rng, weights):
     """Per-sweep fused 3D diag-data Jacobi kernel (two-axis striped) ≡ the
     XLA lumped sweep, including inter-tile seams and global-edge masks."""
     from field_interpolation_tpu import stencils
@@ -550,7 +554,6 @@ def test_fused_sweep_striped2_3d_matches_xla(rng):
     from field_interpolation_tpu.ops.pallas_stencil import (
         fused_sweep_striped2_3d)
     grid = Grid((32, 64, 128))
-    weights = Weights(model_1=0.2, model_2=1.0)
     n = 200
     pos = jnp.asarray(rng.uniform(0, np.asarray(grid.shape) - 1, (n, 3)),
                       jnp.float32)
@@ -569,7 +572,11 @@ def test_fused_sweep_striped2_3d_matches_xla(rng):
                                rtol=0, atol=2e-5)
 
 
-def test_fused_sweep_striped_diag_2d_matches_xla(rng):
+@pytest.mark.parametrize("weights", [
+    Weights(model_1=0.2, model_2=1.0),
+    Weights(model_2=0.5, model_3=0.8),   # radius-3 stencil through the halo
+])
+def test_fused_sweep_striped_diag_2d_matches_xla(rng, weights):
     """Per-sweep fused 2D diag-data Jacobi kernel (single-axis striped) ≡
     the XLA lumped sweep, incl. stripe seams and global-edge masks."""
     from field_interpolation_tpu import stencils
@@ -577,7 +584,6 @@ def test_fused_sweep_striped_diag_2d_matches_xla(rng):
     from field_interpolation_tpu.ops.pallas_stencil import (
         fused_sweep_striped_diag)
     grid = Grid((64, 96))
-    weights = Weights(model_1=0.2, model_2=1.0)
     n = 150
     pos = jnp.asarray(rng.uniform(0, np.asarray(grid.shape) - 1, (n, 2)),
                       jnp.float32)
