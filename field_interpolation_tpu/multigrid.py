@@ -535,6 +535,13 @@ def make_vcycle_preconditioner(problem: Problem, config: SolverConfig,
 
     def level_smooth(level_idx, apply_fn, inv_diag, tau, r, z, iters,
                      from_zero):
+        # iters == 0 means NO smoothing: zeros from a zero guess, z
+        # untouched otherwise — guarded HERE so every fused smoother
+        # agrees with the XLA path (the fused kernels' from_zero step
+        # z = τD⁻¹r counts as the first sweep, which would otherwise turn
+        # "0 sweeps" into one implicit sweep; code-review finding).
+        if iters == 0:
+            return jnp.zeros_like(r) if from_zero else z
         sm = smoothers[level_idx] if smoothers is not None else None
         if sm is not None:
             return sm(r, z, sweeps=iters, from_zero=from_zero)

@@ -902,6 +902,9 @@ def _smooth_inplace(z_ref, r_ref, c_ref, sid_ref, az_ref, weights, ndim,
                     sweeps, from_zero, diag_data=False):
     """z <- z + sid*(r - A z), `sweeps` times (sid = tau*D^-1)."""
     if from_zero:
+        if sweeps == 0:  # 0 sweeps from zero IS zero, not one τD⁻¹r step
+            z_ref[...] = jnp.zeros(z_ref.shape, z_ref.dtype)
+            return
         z_ref[...] = sid_ref[...] * r_ref[...]
         sweeps = sweeps - 1
     for _ in range(sweeps):
@@ -1577,27 +1580,29 @@ def fused_sweep_striped2_3d(r: jax.Array, z: jax.Array, cdiag: jax.Array,
 
         return pl.BlockSpec((b0, b1, n2), imap, memory_space=pltpu.VMEM)
 
-    kinds = [("p", "p"), ("p", "c"), ("p", "n"),
-             ("c", "p"), ("c", "c"), ("c", "n"),
-             ("n", "p"), ("n", "c"), ("n", "n")]
+    # The operator here is axis-SEPARABLE (per-axis smoothness windows +
+    # a purely diagonal data term), so the four corner halo blocks of the
+    # full 3x3 neighborhood are never read: 5 views suffice — prev/next
+    # row strips (center columns), prev/next col strips (center rows), and
+    # the center block — ~10% less z-halo traffic and double-buffered VMEM
+    # than the 9-view concat the (corner-reading) striped2_3d APPLY needs
+    # (code-review finding).
+    kinds = [("p", "c"), ("n", "c"), ("c", "p"), ("c", "n"), ("c", "c")]
     cblk = pl.BlockSpec((T0, T1, n2), lambda i, j: (i, j, _z()),
                         memory_space=pltpu.VMEM)
 
     def kernel(*refs):
-        zb = refs[:9]
-        r_ref, c_ref, sid_ref = refs[9:12]
-        o_ref = refs[12]
-        rows = []
-        for q in range(3):
-            rows.append(jnp.concatenate(
-                [zb[3 * q + 0][...], zb[3 * q + 1][...], zb[3 * q + 2][...]],
-                axis=1))
-        ext = jnp.concatenate(rows, axis=0)  # (T0+2h0, T1+2h1, n2)
+        z_pr, z_nr, z_pc, z_nc, z_cc = refs[:5]
+        r_ref, c_ref, sid_ref = refs[5:8]
+        o_ref = refs[8]
         i = pl.program_id(0)
         j = pl.program_id(1)
         base0 = i * T0
         base1 = j * T1
-        zc = zb[4][...]
+        zc = z_cc[...]
+        # Per-axis extended strips (share the center block; no corners).
+        ext0 = jnp.concatenate([z_pr[...], zc, z_nr[...]], axis=0)
+        ext1 = jnp.concatenate([z_pc[...], zc, z_nc[...]], axis=1)
 
         # az accumulates in o_ref (same pattern as the striped2_3d apply).
         if 0 in weights.active_orders():
@@ -1612,17 +1617,11 @@ def fused_sweep_striped2_3d(r: jax.Array, z: jax.Array, cdiag: jax.Array,
             L = len(taps)
             w2 = weights.model_weight(order) ** 2
 
-            for ax, h, base, n_glob, T in ((0, h0, base0, n0, T0),
-                                           (1, h1, base1, n1, T1)):
+            for ax, h, base, n_glob, T, view in (
+                    (0, h0, base0, n0, T0, ext0),
+                    (1, h1, base1, n1, T1, ext1)):
                 if n_glob < L:
                     continue
-                view = ext
-                other = 1 - ax
-                oh = h1 if other == 1 else h0
-                oT = T1 if other == 1 else T0
-                sl = [slice(None)] * 3
-                sl[other] = slice(oh, oh + oT)
-                view = view[tuple(sl)]
                 m = view.shape[ax] - L + 1
                 y = None
                 for k, s in enumerate(taps):
@@ -1660,7 +1659,7 @@ def fused_sweep_striped2_3d(r: jax.Array, z: jax.Array, cdiag: jax.Array,
         out_specs=pl.BlockSpec((T0, T1, n2), lambda i, j: (i, j, _z()),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(*([z] * 9), r, cdiag, scaled_inv_diag)
+    )(*([z] * 5), r, cdiag, scaled_inv_diag)
 
 
 def pick_stripe_sweep_diag(shape: tuple[int, ...], itemsize: int = 4):

@@ -600,3 +600,27 @@ def test_fused_sweep_striped_diag_2d_matches_xla(rng, weights):
                                    interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                rtol=0, atol=2e-5)
+
+
+def test_zero_smoothing_sweeps_backend_parity(rng):
+    """mg_pre_smooth=mg_post_smooth=0 (coarse-correction-only V-cycle): the
+    fused/pallas smoothers must treat '0 sweeps from zero' as ZERO, not one
+    implicit τD⁻¹r step, so both backends compute the SAME (weak, singular)
+    preconditioner (code-review finding). Convergence is not expected — the
+    smoother-free V-cycle is rank-deficient — so the parity check is on the
+    preconditioner output itself."""
+    from field_interpolation_tpu.multigrid import make_vcycle_preconditioner
+    grid = Grid((64, 64))
+    w, pos, vals = _random_problem(rng, grid, n=80)
+    problem = assemble_problem(grid, Weights(model_2=0.5),
+                               jnp.asarray(pos, jnp.float32),
+                               jnp.asarray(vals, jnp.float32))
+    cfg = SolverConfig(preconditioner="multigrid",
+                       mg_pre_smooth=0, mg_post_smooth=0)
+    r = jnp.asarray(rng.standard_normal(grid.shape), jnp.float32)
+    z_x = make_vcycle_preconditioner(problem, cfg)(r)
+    z_p = make_vcycle_preconditioner(problem, cfg, pallas_smooth=True,
+                                     pallas_interpret=True)(r)
+    scale = float(jnp.max(jnp.abs(z_x)))
+    np.testing.assert_allclose(np.asarray(z_p), np.asarray(z_x),
+                               rtol=0, atol=1e-5 * max(scale, 1e-30))
