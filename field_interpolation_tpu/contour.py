@@ -172,3 +172,90 @@ def contour_polylines(segments: np.ndarray, tol: float = 1e-9) -> list[np.ndarra
         extend(a, lambda p: chain.insert(0, p))
         lines.append(np.asarray(chain))
     return lines
+
+
+# ---------------------------------------------------------------------------
+# Device-side marching squares: the reference GUI re-extracts the contour
+# every frame; this variant is jit/vmap-friendly (static shapes, no host
+# sync) so the whole interactive loop — assemble, solve, contour — can stay
+# on the TPU. Identical case/saddle conventions to the host version above.
+# ---------------------------------------------------------------------------
+
+import functools as _functools
+
+
+@_functools.lru_cache(maxsize=None)
+def _ms_tables():
+    """(tableA, tableB): [16, 2, 2] int32 edge-pair tables for up to two
+    segments per cell; -1 marks an empty slot. tableA applies when the
+    cell-center average is >= 0, tableB when it is negative (they differ
+    only in the saddle cases 5 and 10)."""
+    A = -np.ones((16, 2, 2), dtype=np.int32)
+    B = -np.ones((16, 2, 2), dtype=np.int32)
+    for case, edges in _MS_EDGES.items():
+        if edges is None:
+            continue
+        for si, (e0, e1) in enumerate(edges):
+            A[case, si] = (e0, e1)
+            B[case, si] = (e0, e1)
+    A[5], B[5] = [(3, 0), (1, 2)], [(0, 1), (2, 3)]
+    A[10], B[10] = [(0, 1), (2, 3)], [(3, 0), (1, 2)]
+    A.setflags(write=False)
+    B.setflags(write=False)
+    return A, B
+
+
+def marching_squares_device(field, level: float = 0.0):
+    """Marching squares entirely on device (jit/vmap-friendly).
+
+    field: [H, W] array (any float dtype). Returns
+    ``(segments [(H-1)·(W-1)·2, 2, 2], valid [(H-1)·(W-1)·2] bool)`` in
+    (row, col) lattice coordinates: the fixed-size slot layout holds up to
+    two segments per cell (row-major cells); ``valid`` masks the live slots.
+    ``np.asarray(segments)[np.asarray(valid)]`` reproduces the host
+    ``marching_squares`` output up to segment order (tested).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    f = jnp.asarray(field)
+    f = (f - jnp.asarray(level, f.dtype)).astype(jnp.float32)
+    H, W = f.shape
+    v0 = f[:-1, :-1]
+    v1 = f[:-1, 1:]
+    v2 = f[1:, 1:]
+    v3 = f[1:, :-1]
+
+    case = ((v0 < 0).astype(jnp.int32)
+            + 2 * (v1 < 0).astype(jnp.int32)
+            + 4 * (v2 < 0).astype(jnp.int32)
+            + 8 * (v3 < 0).astype(jnp.int32))          # [H-1, W-1]
+    center_neg = (v0 + v1 + v2 + v3) < 0
+
+    def t_of(va, vb):
+        d = va - vb
+        return jnp.where(d == 0, 0.5, va / jnp.where(d == 0, 1.0, d))
+
+    rr = jax.lax.broadcasted_iota(jnp.float32, v0.shape, 0)
+    cc = jax.lax.broadcasted_iota(jnp.float32, v0.shape, 1)
+    # Edge interpolation points, indexed like _EDGE_CORNERS (top/right/
+    # bottom/left), stacked as [H-1, W-1, 4 edges, 2 (row, col)].
+    p_top = jnp.stack([rr, cc + t_of(v0, v1)], -1)
+    p_right = jnp.stack([rr + t_of(v1, v2), cc + 1.0], -1)
+    p_bottom = jnp.stack([rr + 1.0, cc + t_of(v3, v2)], -1)
+    p_left = jnp.stack([rr + t_of(v0, v3), cc], -1)
+    epts = jnp.stack([p_top, p_right, p_bottom, p_left], axis=2)
+
+    A, B = _ms_tables()
+    tA = jnp.asarray(A)[case]                           # [H-1, W-1, 2, 2]
+    tB = jnp.asarray(B)[case]
+    edges = jnp.where(center_neg[..., None, None], tB, tA)
+    valid = edges[..., 0] >= 0                          # [H-1, W-1, 2]
+    safe = jnp.maximum(edges, 0)
+    # Gather the two endpoints of each slot's edge pair.
+    segs = jnp.take_along_axis(
+        epts[:, :, None, :, :],                         # [.., 1, 4, 2]
+        safe[..., None].astype(jnp.int32),              # [.., 2, 2, 1]
+        axis=3)                                         # [.., 2, 2, 2]
+    n_slots = (H - 1) * (W - 1) * 2
+    return segs.reshape(n_slots, 2, 2), valid.reshape(n_slots)

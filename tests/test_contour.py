@@ -82,3 +82,69 @@ def test_marching_tetrahedra_sphere():
     a, b, cc = tris[:, 0], tris[:, 1], tris[:, 2]
     area = 0.5 * np.linalg.norm(np.cross(b - a, cc - a), axis=1).sum()
     np.testing.assert_allclose(area, 4 * np.pi * 64, rtol=0.05)
+
+
+def test_marching_squares_device_matches_host():
+    """Device (jit-able, fixed-size-output) marching squares reproduces the
+    host segment set exactly, including saddle disambiguation, on random
+    noisy fields."""
+    import jax
+    import jax.numpy as jnp
+
+    from field_interpolation_tpu.contour import (marching_squares,
+                                                 marching_squares_device)
+
+    rng = np.random.default_rng(3)
+    fn = jax.jit(marching_squares_device)
+    for _ in range(6):
+        H, W = rng.integers(4, 28, 2)
+        yy, xx = np.mgrid[0:H, 0:W]
+        f = (np.hypot(yy - H / 2, xx - W / 2) - min(H, W) * 0.3
+             + 0.5 * rng.standard_normal((H, W)))
+        want = marching_squares(f)
+        segs, valid = fn(jnp.asarray(f, jnp.float32))
+        got = np.asarray(segs)[np.asarray(valid)]
+        assert got.shape[0] == want.shape[0]
+
+        def canon(s):
+            s = np.array(s, np.float64)
+            flip = s[:, 0, :].sum(-1) > s[:, 1, :].sum(-1)
+            s[flip] = s[flip][:, ::-1, :]
+            idx = np.lexsort((s[:, 1, 1], s[:, 1, 0], s[:, 0, 1], s[:, 0, 0]))
+            return s[idx]
+
+        np.testing.assert_allclose(canon(got), canon(want), atol=2e-5)
+
+
+def test_marching_squares_device_in_pipeline():
+    """assemble → solve → contour entirely under one jit (the reference
+    GUI's per-frame loop, on device end to end)."""
+    import jax
+    import jax.numpy as jnp
+
+    import field_interpolation_tpu as fi
+    from field_interpolation_tpu.contour import marching_squares_device
+
+    rng = np.random.default_rng(0)
+    grid = fi.Grid((32, 32))
+    theta = rng.uniform(0, 2 * np.pi, 100)
+    nrm = np.stack([np.cos(theta), np.sin(theta)], 1).astype(np.float32)
+    pts = (15.5 + 9.0 * nrm).astype(np.float32)
+    cfg = fi.SolverConfig(tol=1e-4, preconditioner="multigrid",
+                          backend="xla")
+
+    @jax.jit
+    def frame(pts, nrm):
+        x, info = fi.sdf_from_points(grid, fi.Weights(model_2=0.3), pts,
+                                     nrm, config=cfg)
+        segs, valid = marching_squares_device(x)
+        return segs, valid, info.converged
+
+    segs, valid, conv = frame(jnp.asarray(pts), jnp.asarray(nrm))
+    assert bool(conv)
+    n = int(np.asarray(valid).sum())
+    assert n > 10  # a circle's worth of contour segments
+    got = np.asarray(segs)[np.asarray(valid)]
+    # all segment endpoints near the radius-9 circle
+    d = np.hypot(got[..., 0] - 15.5, got[..., 1] - 15.5)
+    assert np.all(np.abs(d - 9.0) < 2.0)
