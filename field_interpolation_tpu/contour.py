@@ -259,3 +259,89 @@ def marching_squares_device(field, level: float = 0.0):
         axis=3)                                         # [.., 2, 2, 2]
     n_slots = (H - 1) * (W - 1) * 2
     return segs.reshape(n_slots, 2, 2), valid.reshape(n_slots)
+
+
+@_functools.lru_cache(maxsize=None)
+def _mt_table():
+    """[16, 2, 3, 2] int32: per tet sign-case (bit t = corner t negative),
+    up to two triangles of three edge-interpolation points, each edge a
+    (corner_a, corner_b) pair of tet-local indices (interp order: value at
+    corner_a first, exactly like the host marching_tetrahedra); -1 marks
+    empty slots."""
+    T = -np.ones((16, 2, 3, 2), dtype=np.int32)
+    for case in range(1, 15):
+        neg = [t for t in range(4) if (case >> t) & 1]
+        pos = [t for t in range(4) if not (case >> t) & 1]
+        if len(neg) == 1 or len(pos) == 1:
+            apex = neg[0] if len(neg) == 1 else pos[0]
+            others = [t for t in range(4) if t != apex]
+            T[case, 0] = [(apex, o) for o in others]
+        else:  # 2-2 split -> quad -> two triangles
+            a, b = neg
+            c, d = pos
+            q = [(a, c), (a, d), (b, d), (b, c)]
+            T[case, 0] = [q[0], q[1], q[2]]
+            T[case, 1] = [q[0], q[2], q[3]]
+    T.setflags(write=False)
+    return T
+
+
+def marching_tetrahedra_device(field, level: float = 0.0):
+    """Marching tetrahedra entirely on device (jit/vmap-friendly).
+
+    field: [NI, NJ, NK] array. Returns ``(triangles
+    [n_cells·12, 3, 3], valid [n_cells·12] bool)`` — a fixed-size slot
+    layout of 6 tets × up to 2 triangles per cell (row-major cells, tets in
+    _TETS order); ``np.asarray(triangles)[np.asarray(valid)]`` reproduces
+    the host ``marching_tetrahedra`` triangle set (tested). NOTE the output
+    is ~12·9 floats per CELL — meant for moderate grids or cropped regions
+    (a 128³ field would emit ~900 MB of slots); the host extractor remains
+    the tool for huge fields pulled off-device anyway.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    f = jnp.asarray(field)
+    f = (f - jnp.asarray(level, f.dtype)).astype(jnp.float32)
+    NI, NJ, NK = f.shape
+    corner = np.asarray(_CUBE_CORNERS, np.int32)          # [8, 3]
+    vals8 = jnp.stack(
+        [f[o0:NI - 1 + o0, o1:NJ - 1 + o1, o2:NK - 1 + o2]
+         for (o0, o1, o2) in corner], axis=-1)            # [ci, cj, ck, 8]
+    cells = (NI - 1) * (NJ - 1) * (NK - 1)
+    vals8 = vals8.reshape(cells, 8)
+
+    ii = jax.lax.broadcasted_iota(jnp.float32, (NI - 1, NJ - 1, NK - 1), 0)
+    jj = jax.lax.broadcasted_iota(jnp.float32, (NI - 1, NJ - 1, NK - 1), 1)
+    kk = jax.lax.broadcasted_iota(jnp.float32, (NI - 1, NJ - 1, NK - 1), 2)
+    base = jnp.stack([ii, jj, kk], -1).reshape(cells, 1, 3)
+    pos8 = base + jnp.asarray(_CUBE_CORNERS, jnp.float32)  # [cells, 8, 3]
+
+    tets = np.asarray(_TETS, np.int32)                     # [6, 4]
+    tv = vals8[:, tets]                                    # [cells, 6, 4]
+    tp = pos8[:, tets]                                     # [cells, 6, 4, 3]
+    case = jnp.sum((tv < 0).astype(jnp.int32)
+                   * np.asarray([1, 2, 4, 8], np.int32), axis=-1)
+
+    tab = jnp.asarray(_mt_table())[case]                   # [cells, 6, 2, 3, 2]
+    valid = tab[..., 0, 0] >= 0                            # [cells, 6, 2]
+    safe = jnp.maximum(tab, 0)                             # [cells, 6, 2, 3, 2]
+
+    def gather_corner(arr, idx):
+        # arr [cells, 6, 4(, 3)], idx [cells, 6, 2, 3] -> [cells, 6, 2, 3(, 3)]
+        idx_flat = idx.reshape(cells, 6, 6)
+        out = jnp.take_along_axis(
+            arr, idx_flat if arr.ndim == 3 else idx_flat[..., None],
+            axis=2)
+        new_shape = (cells, 6, 2, 3) + (() if arr.ndim == 3 else (3,))
+        return out.reshape(new_shape)
+
+    va = gather_corner(tv, safe[..., 0])
+    vb = gather_corner(tv, safe[..., 1])
+    pa = gather_corner(tp, safe[..., 0])
+    pb = gather_corner(tp, safe[..., 1])
+    den = va - vb
+    t = jnp.where(den == 0, 0.5, va / jnp.where(den == 0, 1.0, den))
+    tris = pa + t[..., None] * (pb - pa)                   # [cells, 6, 2, 3, 3]
+    n_slots = cells * 12
+    return tris.reshape(n_slots, 3, 3), valid.reshape(n_slots)

@@ -148,3 +148,40 @@ def test_marching_squares_device_in_pipeline():
     # all segment endpoints near the radius-9 circle
     d = np.hypot(got[..., 0] - 15.5, got[..., 1] - 15.5)
     assert np.all(np.abs(d - 9.0) < 2.0)
+
+
+def test_marching_tetrahedra_device_matches_host():
+    """Device (jit-able, fixed-size-output) marching tetrahedra reproduces
+    the host triangle set on random noisy 3D fields (comparison is
+    canonicalized with rounding: f32-vs-f64 interpolation ties can reorder
+    near-identical triangles)."""
+    import jax
+    import jax.numpy as jnp
+
+    from field_interpolation_tpu.contour import (marching_tetrahedra,
+                                                 marching_tetrahedra_device)
+
+    rng = np.random.default_rng(0)
+    fn = jax.jit(marching_tetrahedra_device)
+    for _ in range(4):
+        NI, NJ, NK = rng.integers(3, 10, 3)
+        ii, jj, kk = np.mgrid[0:NI, 0:NJ, 0:NK]
+        f = (np.sqrt((ii - NI / 2) ** 2 + (jj - NJ / 2) ** 2
+                     + (kk - NK / 2) ** 2)
+             - min(NI, NJ, NK) * 0.35
+             + 0.4 * rng.standard_normal((NI, NJ, NK)))
+        f = f.astype(np.float32).astype(np.float64)
+        want = marching_tetrahedra(f)
+        tris, valid = fn(jnp.asarray(f, jnp.float32))
+        got = np.asarray(tris)[np.asarray(valid)]
+        assert got.shape[0] == want.shape[0]
+
+        def canon(t):
+            t = np.round(np.asarray(t, np.float64), 4)
+            for n in range(t.shape[0]):
+                order = np.lexsort((t[n, :, 2], t[n, :, 1], t[n, :, 0]))
+                t[n] = t[n][order]
+            flat = t.reshape(t.shape[0], -1)
+            return t[np.lexsort(flat.T[::-1])]
+
+        np.testing.assert_allclose(canon(got), canon(want), atol=3e-4)
