@@ -154,6 +154,133 @@ def restrict_diag(diag_f: jax.Array, coarse_shape: tuple[int, ...]) -> jax.Array
     return out
 
 
+# ---------------------------------------------------------------------------
+# Galerkin (PᵀAP) transfer of the FULL 3^D data stencil (VERDICT r3 item 2a):
+# the coarse data term keeps its off-diagonal coupling instead of being
+# diagonally lumped. With the endpoint-aligned linear transfers the exact
+# triple product of a radius-1 stencil is radius ≤ 2 per axis (the fractional
+# alignment drift of non-dyadic grids adds rare |p|=2 entries); those are
+# folded inward to keep the 3^D channel form the fused kernels already take
+# (row sums preserved), then the folded stencil is re-symmetrized by
+# averaging paired entries — the V-cycle preconditioner must stay symmetric.
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=None)
+def _galerkin_axis_tensor(n_c: int, n_f: int) -> np.ndarray:
+    """[5, n_c, 3, n_f] per-axis triple-product transfer: contracts a fine
+    (offset o ∈ {−1,0,1}, node a) stencil axis pair into the coarse
+    (offset p ∈ {−2..2}, node j) pair, EXACTLY:
+    T[p, j, o, a] = Σ P[a, j]·P[a+o, j+p]. The |p| = 2 entries (endpoint-
+    aligned transfers drift off dyadic alignment, widening PᵀAP past
+    radius 1) are kept exact here and folded SPD-safely downstream."""
+    P = _resize_matrix(n_f, n_c)  # prolongation [n_f, n_c]
+    T = np.zeros((5, n_c, 3, n_f))
+    for a in range(n_f):
+        cols_a = np.nonzero(P[a])[0]
+        for oi, o in enumerate((-1, 0, 1)):
+            b = a + o
+            if b < 0 or b >= n_f:
+                continue
+            for j in cols_a:
+                pa = P[a, j]
+                for j2 in np.nonzero(P[b])[0]:
+                    p = j2 - j
+                    T[p + 2, j, oi, a] += pa * P[b, j2]
+    T.setflags(write=False)
+    return T
+
+
+def galerkin_coarse_coeff(coeff: jax.Array, coarse_shape: tuple[int, ...]
+                          ) -> jax.Array:
+    """Full Galerkin transfer of a [3^D, *fine] data stencil to
+    [3^D, *coarse]: per-axis dense (MXU) contractions with the cached
+    triple-product transfer matrices give the EXACT PᵀAP as a radius-2
+    stencil; the rare |p| = 2 alignment-drift entries are then folded
+    SPD-SAFELY — each symmetric pair (j, j+p)/(j+p, j) is dropped and |e|
+    added to both row diagonals, i.e. A_fold = PᵀAP + Σ |e|·(e_j ∓ e_{j+p})
+    (e_j ∓ e_{j+p})ᵀ ⪰ PᵀAP ≻ 0. (A row-sum-preserving inward fold was
+    tried first and made the stencil INDEFINITE — min eig −6e-4 on a 12×10
+    probe vs +2.4e-5 exact — which broke CG at 256²-class hierarchies:
+    measured 1730 iterations vs 14 at tol 1e-4. Do not refold inward.)
+    Preconditioner-only: CG's operator is always the fine one."""
+    D = len(coarse_shape)
+    fine_shape = coeff.shape[-D:]
+    x = coeff.reshape((3,) * D + tuple(fine_shape))
+    widths = []
+    for d in range(D):
+        n_f, n_c = fine_shape[d], coarse_shape[d]
+        if n_f == n_c:
+            widths.append(3)
+            continue
+        T = jnp.asarray(_galerkin_axis_tensor(n_c, n_f), x.dtype)
+        x = jnp.tensordot(T, x, axes=[[2, 3], [d, D + d]],
+                          precision=jax.lax.Precision.HIGHEST)
+        x = jnp.moveaxis(x, (0, 1), (d, D + d))
+        widths.append(5)
+    # Fold the wide channels: |p_d| ≤ 1 everywhere → keep; any |p_d| = 2 →
+    # row-diagonal compensation (see docstring).
+    import itertools
+    out = {}
+    center_extra = None
+    for idx in itertools.product(*[range(w) for w in widths]):
+        p = tuple(i - w // 2 for i, w in zip(idx, widths))
+        ch = x[idx]
+        if all(abs(c) <= 1 for c in p):
+            out[p] = ch
+        else:
+            a = jnp.abs(ch)
+            center_extra = a if center_extra is None else center_extra + a
+    from .constraints import offset_list
+    offsets = offset_list(D)
+    chans = []
+    for ci in range(3 ** D):
+        p = tuple(int(v) for v in offsets[ci])
+        ch = out[p]
+        if center_extra is not None and p == (0,) * D:
+            ch = ch + center_extra
+        chans.append(ch)
+    return jnp.stack(chans)
+
+
+def chebyshev_coefs(rho: jax.Array, nu: int, config) -> jax.Array:
+    """[nu, 2] Chebyshev smoothing schedule on D⁻¹A.
+
+    Uniform d-update recurrence (d₀ = 0):
+        d ← c1_k·d + c2_k·D⁻¹(r − A z);  z ← z + d
+    Row 0 has c1 unused (d₀ = 0), so the first step needs no special
+    casing. Same polynomial for pre- and post-smoothing ⇒ the smoother is a
+    fixed symmetric linear operator and the V-cycle stays SPD (the Jacobi
+    argument, with p(D⁻¹A)D⁻¹ symmetric for any fixed polynomial p).
+
+    mg_smoother="chebyshev": 1st-kind polynomial equi-oscillating on
+    [ρ̂/mg_cheb_ratio, ρ̂]. "chebyshev4": 4th-kind polynomial on (0, ρ̂] —
+    no λmin estimate needed, the standard modern MG smoothing choice
+    (Lottes, "Optimal polynomial smoothers"; MFEM/hypre kind-4):
+        c1_k = (2k−3)/(2k+1), c2_k = (8k−4)/((2k+1)·ρ̂), k = 1..ν."""
+    if nu <= 0:
+        return jnp.zeros((0, 2), jnp.float32)
+    if config.mg_smoother == "chebyshev4":
+        rows = []
+        for k in range(1, nu + 1):
+            rows.append(jnp.stack([
+                jnp.full_like(rho, (2.0 * k - 3.0) / (2.0 * k + 1.0)),
+                (8.0 * k - 4.0) / ((2.0 * k + 1.0) * rho)]))
+        return jnp.stack(rows).astype(jnp.float32)
+    lmax = rho
+    lmin = rho / config.mg_cheb_ratio
+    theta = 0.5 * (lmax + lmin)
+    delta = 0.5 * (lmax - lmin)
+    sigma = theta / delta
+    rows = [jnp.stack([jnp.zeros_like(theta), 1.0 / theta])]
+    rho_prev = 1.0 / sigma
+    for _ in range(1, nu):
+        rho_k = 1.0 / (2.0 * sigma - rho_prev)
+        rows.append(jnp.stack([rho_k * rho_prev, 2.0 * rho_k / delta]))
+        rho_prev = rho_k
+    return jnp.stack(rows).astype(jnp.float32)
+
+
 @functools.lru_cache(maxsize=None)
 def _smoothness_dense_matrix(shape: tuple[int, ...], weights: Weights) -> np.ndarray:
     """Dense matrix of the smoothness normal operator on a (small) grid —
@@ -188,12 +315,39 @@ def _smoothness_dense_matrix(shape: tuple[int, ...], weights: Weights) -> np.nda
     return S
 
 
+def _dense_data_matrix(data_coeff: jax.Array, shape: tuple[int, ...]
+                       ) -> jax.Array:
+    """Dense [n, n] matrix of a 3^D-channel data stencil: A[i, i+o] =
+    coeff[o, i]. Per channel the flattened offset is a fixed diagonal, and
+    the entries that would wrap across a row/plane boundary are exactly the
+    (zero) out-of-grid coefficients, so eye-diagonal placement is exact —
+    no scatter (flat ~0.35 ms/scatter on this backend, CLAUDE.md)."""
+    import math
+    from .constraints import offset_list
+    ndim = len(shape)
+    n = math.prod(shape)
+    strides = [1] * ndim
+    for d in range(ndim - 2, -1, -1):
+        strides[d] = strides[d + 1] * shape[d + 1]
+    offsets = offset_list(ndim)
+    flat = data_coeff.reshape(3 ** ndim, n)
+    A = jnp.zeros((n, n), flat.dtype)
+    for ci in range(offsets.shape[0]):
+        k = int(sum(int(offsets[ci][d]) * strides[d] for d in range(ndim)))
+        A = A + flat[ci][:, None] * jnp.eye(n, k=k, dtype=flat.dtype)
+    return A
+
+
 def _coarse_dense_inverse(lvl: "_Level") -> jax.Array:
     """Exact symmetric inverse of the coarsest operator: host-constant
-    smoothness matrix + the per-problem lumped data diagonal."""
-    A_c = (jnp.asarray(_smoothness_dense_matrix(lvl.shape, lvl.weights),
-                       lvl.diag.dtype)
-           + jnp.diag(lvl.data_diag.ravel()))
+    smoothness matrix + the per-problem data term (lumped diagonal, or the
+    full Galerkin stencil densified via eye-diagonals)."""
+    S = jnp.asarray(_smoothness_dense_matrix(lvl.shape, lvl.weights),
+                    lvl.diag.dtype)
+    if lvl.data_coeff is not None:
+        A_c = S + _dense_data_matrix(lvl.data_coeff, lvl.shape)
+    else:
+        A_c = S + jnp.diag(lvl.data_diag.ravel())
     inv = jnp.linalg.inv(A_c)
     return 0.5 * (inv + inv.T)  # exact symmetry for CG
 
@@ -204,11 +358,17 @@ class _Level:
 
     shape: tuple[int, ...]
     weights: Weights          # energy-rescaled smoothness weights
-    data_diag: jax.Array      # lumped data term [*shape]
+    data_diag: jax.Array      # diagonal of the data term [*shape]
     diag: jax.Array           # diag of this level's operator [*shape]
+    # Full 3^D-channel Galerkin data stencil (mg_coarse_data="galerkin");
+    # None = diagonally-lumped data term (data_diag).
+    data_coeff: jax.Array | None = None
 
     def apply(self, x: jax.Array) -> jax.Array:
         s = stencils.smoothness_apply(x, self.weights, len(self.shape))
+        if self.data_coeff is not None:
+            from .constraints import data_apply
+            return s + data_apply(x, self.data_coeff, len(self.shape))
         return s + self.data_diag * x
 
 
@@ -251,15 +411,21 @@ def build_levels(problem: Problem, config: SolverConfig) -> list[_Level]:
     grid = problem.grid
     weights = problem.weights
     from .constraints import data_diag as _data_diag
+    galerkin = config.mg_coarse_data == "galerkin"
     ddiag = _data_diag(problem.coeff, grid.ndim)
+    dcoeff = problem.coeff if galerkin else None
 
     for coarse_shape in level_shapes(grid.shape, config.mg_min_size,
                                      config.mg_coarse_solver):
         weights = _coarsen_weights(weights, grid.ndim)
-        ddiag = restrict_diag(ddiag, coarse_shape)
+        if galerkin:
+            dcoeff = galerkin_coarse_coeff(dcoeff, coarse_shape)
+            ddiag = _data_diag(dcoeff, grid.ndim)
+        else:
+            ddiag = restrict_diag(ddiag, coarse_shape)
         diag = stencils.smoothness_diag(coarse_shape, weights).astype(ddiag.dtype) + ddiag
         levels.append(_Level(shape=coarse_shape, weights=weights,
-                             data_diag=ddiag, diag=diag))
+                             data_diag=ddiag, diag=diag, data_coeff=dcoeff))
     return levels
 
 
@@ -270,8 +436,9 @@ def _rho_bound(row_abs: jax.Array, diag: jax.Array) -> jax.Array:
 
 
 def build_smoothing_setup(problem: Problem, levels: list, config) -> tuple:
-    """(lump, fine_ddiag, taus): the fine-level lumping decision and the
-    per-level Gershgorin damping steps τ_l = 2·mg_omega/ρ̂(D_l⁻¹A_l).
+    """(lump, fine_ddiag, taus, rhos): the fine-level lumping decision, the
+    per-level Gershgorin damping steps τ_l = 2·mg_omega/ρ̂(D_l⁻¹A_l), and the
+    raw bounds ρ̂_l themselves (the Chebyshev smoother's λmax estimate).
 
     The ONE implementation shared by the XLA V-cycle
     (make_vcycle_preconditioner), the fused-kernel operands
@@ -293,33 +460,48 @@ def build_smoothing_setup(problem: Problem, levels: list, config) -> tuple:
     else:
         fine_rowabs = base + jnp.sum(jnp.abs(problem.coeff),
                                      axis=-(ndim + 1))
-    taus = [2.0 * config.mg_omega / _rho_bound(fine_rowabs, problem.diag)]
+    rhos = [_rho_bound(fine_rowabs, problem.diag)]
     for lvl in levels:
-        rowabs = (stencils.smoothness_row_abs_sum(lvl.shape, lvl.weights,
-                                                  lvl.diag.dtype)
-                  + lvl.data_diag)
-        taus.append(2.0 * config.mg_omega / _rho_bound(rowabs, lvl.diag))
-    return lump, fine_ddiag, taus
+        rowabs = stencils.smoothness_row_abs_sum(lvl.shape, lvl.weights,
+                                                 lvl.diag.dtype)
+        if lvl.data_coeff is not None:
+            rowabs = rowabs + jnp.sum(jnp.abs(lvl.data_coeff), axis=0)
+        else:
+            rowabs = rowabs + lvl.data_diag
+        rhos.append(_rho_bound(rowabs, lvl.diag))
+    taus = [2.0 * config.mg_omega / r for r in rhos]
+    return lump, fine_ddiag, taus, rhos
 
 
 def _fused_vcycle_operands(problem, levels, taus, fine_inv_diag, inv_diags,
-                           coarse_dense):
+                           coarse_dense, config, rhos):
     """Materialize the per-level operands the fused 2D V-cycle/CG kernels
-    take: (coeffs [3^D,*shape_l], sids = τ_l·D_l⁻¹, Rs per-axis restriction
-    matrices, inv32 dense coarsest inverse, level Weights). None if the
-    working set exceeds the VMEM budget."""
+    take: (coeffs, sids, Rs per-axis restriction matrices, inv32 dense
+    coarsest inverse, level Weights, cheb coefficient schedules or None).
+    coeffs[l] is the full [3^D, *shape] data stencil (fine level always;
+    coarse levels under mg_coarse_data="galerkin") or the bare [*shape]
+    diagonal — the kernels tell them apart by rank. Jacobi: sids =
+    τ_l·D⁻¹, cfs=None; Chebyshev: sids = D⁻¹ unscaled, cfs[l] = [ν, 2]
+    schedules. None if the working set exceeds the VMEM budget."""
     ndim = problem.grid.ndim
+    cheb = config.mg_smoother.startswith("chebyshev")
     shapes_all = [problem.grid.shape] + [l.shape for l in levels]
-    # Fine level: full 3^D-channel data stencil; coarse levels: the data
-    # term is DIAGONAL, passed as a bare [*shape] array (the kernels take
-    # diag_data=True there — one multiply-add instead of 3^D channel ops).
     coeffs = [problem.coeff.astype(jnp.float32)]
-    sids = [(taus[0] * fine_inv_diag).astype(jnp.float32)]
+    inv_all = [fine_inv_diag] + list(inv_diags)
     lw = [problem.weights]
-    for i, lvl in enumerate(levels):
-        coeffs.append(lvl.data_diag.astype(jnp.float32))
-        sids.append((taus[i + 1] * inv_diags[i]).astype(jnp.float32))
+    for lvl in levels:
+        if lvl.data_coeff is not None:
+            coeffs.append(lvl.data_coeff.astype(jnp.float32))
+        else:
+            coeffs.append(lvl.data_diag.astype(jnp.float32))
         lw.append(lvl.weights)
+    if cheb:
+        sids = [d.astype(jnp.float32) for d in inv_all]
+        cfs = [chebyshev_coefs(r, config.mg_pre_smooth, config)
+               for r in rhos]
+    else:
+        sids = [(t * d).astype(jnp.float32) for t, d in zip(taus, inv_all)]
+        cfs = None
     Rs = []
     for i in range(len(shapes_all) - 1):
         for d in range(ndim):
@@ -327,11 +509,12 @@ def _fused_vcycle_operands(problem, levels, taus, fine_inv_diag, inv_diags,
                 _resize_matrix(shapes_all[i][d], shapes_all[i + 1][d]).T,
                 jnp.float32))
     inv32 = coarse_dense.astype(jnp.float32)
+    # Chebyshev adds one z_prev scratch per level (~1 fine-array's worth).
     vmem_est = (sum(c.size for c in coeffs) + inv32.size
-                + 3 * problem.grid.num_nodes) * 4
+                + (4 if cheb else 3) * problem.grid.num_nodes) * 4
     if vmem_est > 12 * 1024 * 1024:
         return None
-    return coeffs, sids, Rs, inv32, lw
+    return coeffs, sids, Rs, inv32, lw, cfs
 
 
 def build_fused_solver_operands(problem: Problem, config: SolverConfig):
@@ -357,12 +540,12 @@ def build_fused_solver_operands(problem: Problem, config: SolverConfig):
         return None
     fine_inv_diag = jnp.where(problem.diag > 0, 1.0 / problem.diag, 1.0)
     inv_diags = [jnp.where(l.diag > 0, 1.0 / l.diag, 1.0) for l in levels]
-    lump, _, taus = build_smoothing_setup(problem, levels, config)
+    lump, _, taus, rhos = build_smoothing_setup(problem, levels, config)
     if lump:
         return None  # fused kernels smooth with the full data stencil
     coarse_dense = _coarse_dense_inverse(levels[-1])
     return _fused_vcycle_operands(problem, levels, taus, fine_inv_diag,
-                                  inv_diags, coarse_dense)
+                                  inv_diags, coarse_dense, config, rhos)
 
 
 def make_vcycle_preconditioner(problem: Problem, config: SolverConfig,
@@ -393,7 +576,8 @@ def make_vcycle_preconditioner(problem: Problem, config: SolverConfig,
     # fixed τ=0.8 blows up. build_smoothing_setup auto-scales each level's
     # damping so τ·ρ ≤ 2·mg_omega (< 2) from closed-form row-abs sums, and
     # is SHARED with the fused and sharded paths.
-    lump, fine_ddiag, taus = build_smoothing_setup(problem, levels, config)
+    lump, fine_ddiag, taus, rhos = build_smoothing_setup(problem, levels,
+                                                          config)
     if lump:
         def fine_apply(x):
             return (stencils.smoothness_apply(x, problem.weights, ndim)
@@ -404,7 +588,28 @@ def make_vcycle_preconditioner(problem: Problem, config: SolverConfig,
     fine_inv_diag = jnp.where(problem.diag > 0, 1.0 / problem.diag, 1.0)
     inv_diags = [jnp.where(l.diag > 0, 1.0 / l.diag, 1.0) for l in levels]
 
-    def smooth(apply_fn, inv_diag, tau, r, z, iters):
+    cheb = config.mg_smoother.startswith("chebyshev")
+    _cf_cache: dict = {}
+
+    def _cf(li: int, iters: int):
+        key = (li, iters)
+        if key not in _cf_cache:
+            _cf_cache[key] = chebyshev_coefs(rhos[li], iters, config)
+        return _cf_cache[key]
+
+    def smooth(apply_fn, inv_diag, li, r, z, iters):
+        if cheb:
+            # Uniform Chebyshev recurrence in iterate-difference form:
+            # z⁺ = z + c1_k·(z − z_prev) + c2_k·D⁻¹(r − A z). The k=0 row is
+            # (0, 1/θ), so no special first step (see chebyshev_coefs).
+            cf = _cf(li, iters)
+            zp = z
+            for k in range(iters):
+                az = apply_fn(z)
+                z, zp = (z + cf[k, 0] * (z - zp)
+                         + cf[k, 1] * inv_diag * (r - az)), z
+            return z
+        tau = taus[li]
         for _ in range(iters):
             z = z + tau * inv_diag * (r - apply_fn(z))
         return z
@@ -425,18 +630,21 @@ def make_vcycle_preconditioner(problem: Problem, config: SolverConfig,
                                          pick_tile_smooth)
         from .stencils import max_stencil_radius
 
-        def _persweep_smoother(kernel_fn, coeff_diag, sid, weights_l, tile):
+        def _persweep_smoother(kernel_fn, coeff_diag, sid, weights_l, tile,
+                               li):
             """Per-sweep fused smoothing for beyond-VMEM DIAG levels (3D
             lumped fine + all large diag coarse levels): each XLA sweep
             there is ~15-18 separate shift passes over the full arrays —
             the dominant 256³ V-cycle cost and a measurable slice of the
             4096² one. One fused striped kernel per sweep is near the
             traffic floor for a 1-channel data term (see
-            fused_sweep_striped2_3d)."""
+            fused_sweep_striped2_3d). Chebyshev rides the SAME kernel:
+            with sid = D⁻¹ unscaled, K(z) − z = D⁻¹(r − A z) feeds the
+            d-update recurrence as two cheap XLA axpys per sweep."""
             c32 = coeff_diag.astype(jnp.float32)
             s32 = sid.astype(jnp.float32)
 
-            def sm(r, z, sweeps, from_zero):
+            def sm_jacobi(r, z, sweeps, from_zero):
                 if from_zero:
                     z = s32 * r  # apply(0) == 0
                     sweeps = sweeps - 1
@@ -445,7 +653,23 @@ def make_vcycle_preconditioner(problem: Problem, config: SolverConfig,
                                   interpret=pallas_interpret)
                 return z
 
-            return sm
+            def sm_cheb(r, z, sweeps, from_zero):
+                cf = _cf(li, sweeps)
+                if from_zero:
+                    zp = jnp.zeros_like(r)
+                    z = cf[0, 1] * (s32 * r)  # apply(0) == 0
+                    start = 1
+                else:
+                    zp = z
+                    start = 0
+                for k in range(start, sweeps):
+                    dinv_res = kernel_fn(r, z, c32, s32, weights_l, tile,
+                                         interpret=pallas_interpret) - z
+                    z, zp = (z + cf[k, 0] * (z - zp)
+                             + cf[k, 1] * dinv_res), z
+                return z
+
+            return sm_cheb if cheb else sm_jacobi
         smoothers = []
         for li in range(len(levels) + 1):
             if li == 0:
@@ -453,21 +677,32 @@ def make_vcycle_preconditioner(problem: Problem, config: SolverConfig,
                 diag_l = lump  # lumped fine smoother: diagonal data term
                 coeff_l = fine_ddiag if lump else problem.coeff
                 weights_l = problem.weights
-                sid = taus[0] * fine_inv_diag
+                inv_d = fine_inv_diag
             else:
                 lvl = levels[li - 1]
                 shape_l = lvl.shape
-                diag_l = True
-                coeff_l = lvl.data_diag
+                diag_l = lvl.data_coeff is None
+                coeff_l = lvl.data_diag if diag_l else lvl.data_coeff
                 weights_l = lvl.weights
-                sid = taus[li] * inv_diags[li - 1]
+                inv_d = inv_diags[li - 1]
+            # Chebyshev folds its per-sweep scalars via the SMEM schedule /
+            # wrapper algebra, so the kernels get D⁻¹ UNSCALED there.
+            sid = inv_d if cheb else taus[li] * inv_d
+
+            def _mk_cheb_kw(li=li):
+                if not cheb:
+                    return {}
+                nus = {config.mg_pre_smooth, config.mg_post_smooth}
+                return {"cheb_coefs": {n: _cf(li, n) for n in nus if n > 0}}
+
             if not fits_vmem(shape_l, diag_data=diag_l):
-                # Beyond-VMEM fine level (2D, full data stencil): multi-sweep
-                # striped smoother — the 9-channel coeff block is read once
-                # per smoothing phase instead of once per sweep. DIAG levels
-                # (3D lumped fine, large coarse): per-sweep striped kernels.
+                # Beyond-VMEM full-data levels (2D fine; 2D galerkin coarse):
+                # multi-sweep striped smoother — the 9-channel coeff block is
+                # read once per smoothing phase instead of once per sweep.
+                # DIAG levels (3D lumped fine, large coarse): per-sweep
+                # striped kernels.
                 T = T2 = T3 = None
-                if li == 0 and ndim == 2 and not lump:
+                if ndim == 2 and not diag_l:
                     rad = max(max_stencil_radius(weights_l), 1)
                     nu_max = max(config.mg_pre_smooth, config.mg_post_smooth)
                     T = pick_stripe_smooth(shape_l, rad, nu_max)
@@ -483,28 +718,29 @@ def make_vcycle_preconditioner(problem: Problem, config: SolverConfig,
                     kfn = (fused_sweep_striped2_3d if ndim == 3
                            else fused_sweep_striped_diag)
                     smoothers.append(_persweep_smoother(kfn, coeff_l, sid,
-                                                        weights_l, T3))
+                                                        weights_l, T3, li))
                 elif T is not None:
                     smoothers.append(functools.partial(
                         fused_smooth_striped,
                         coeff=coeff_l.astype(jnp.float32),
                         scaled_inv_diag=sid.astype(jnp.float32),
                         weights=weights_l, stripe=T,
-                        interpret=pallas_interpret))
+                        interpret=pallas_interpret, **_mk_cheb_kw()))
                 elif T2 is not None:
                     smoothers.append(functools.partial(
                         fused_smooth_tiled,
                         coeff=coeff_l.astype(jnp.float32),
                         scaled_inv_diag=sid.astype(jnp.float32),
                         weights=weights_l, tiles=T2,
-                        interpret=pallas_interpret))
+                        interpret=pallas_interpret, **_mk_cheb_kw()))
                 else:
                     smoothers.append(None)  # fall back to XLA sweeps
                 continue
             smoothers.append(functools.partial(
                 fused_smooth, coeff=coeff_l.astype(jnp.float32),
                 scaled_inv_diag=sid.astype(jnp.float32), weights=weights_l,
-                ndim=ndim, interpret=pallas_interpret, diag_data=diag_l))
+                ndim=ndim, interpret=pallas_interpret, diag_data=diag_l,
+                **_mk_cheb_kw()))
 
     # Coarsest-level solver. "dense": materialize the coarsest operator by
     # applying it to the identity basis ONCE at setup, invert, and each
@@ -525,16 +761,16 @@ def make_vcycle_preconditioner(problem: Problem, config: SolverConfig,
             and smoothers is not None and all(s is not None for s in smoothers)
             and config.mg_pre_smooth == config.mg_post_smooth):
         ops = _fused_vcycle_operands(problem, levels, taus, fine_inv_diag,
-                                     inv_diags, coarse_dense)
+                                     inv_diags, coarse_dense, config, rhos)
         if ops is not None:
             from .ops.pallas_stencil import fused_vcycle_2d
-            coeffs, sids, Rs, inv32, lw = ops
+            coeffs, sids, Rs, inv32, lw, cfs = ops
             return lambda r: fused_vcycle_2d(
                 r, coeffs, sids, Rs, inv32, lw, config.mg_pre_smooth,
-                config.mg_post_smooth, interpret=pallas_interpret)
+                config.mg_post_smooth, interpret=pallas_interpret,
+                cheb_coefs=cfs)
 
-    def level_smooth(level_idx, apply_fn, inv_diag, tau, r, z, iters,
-                     from_zero):
+    def level_smooth(level_idx, apply_fn, inv_diag, r, z, iters, from_zero):
         # iters == 0 means NO smoothing: zeros from a zero guess, z
         # untouched otherwise — guarded HERE so every fused smoother
         # agrees with the XLA path (the fused kernels' from_zero step
@@ -547,7 +783,7 @@ def make_vcycle_preconditioner(problem: Problem, config: SolverConfig,
             return sm(r, z, sweeps=iters, from_zero=from_zero)
         if from_zero:
             z = jnp.zeros_like(r)
-        return smooth(apply_fn, inv_diag, tau, r, z, iters)
+        return smooth(apply_fn, inv_diag, level_idx, r, z, iters)
 
     def vcycle(r, level_idx):
         if level_idx == 0:
@@ -557,7 +793,6 @@ def make_vcycle_preconditioner(problem: Problem, config: SolverConfig,
             lvl = levels[level_idx - 1]
             apply_fn, inv_diag = lvl.apply, inv_diags[level_idx - 1]
             shape = lvl.shape
-        tau = taus[level_idx]
 
         if level_idx == len(levels):  # coarsest
             if coarse_dense is not None:
@@ -565,16 +800,16 @@ def make_vcycle_preconditioner(problem: Problem, config: SolverConfig,
                             precision=jax.lax.Precision.HIGHEST,
                             preferred_element_type=r.dtype)
                 return z.reshape(r.shape)
-            return level_smooth(level_idx, apply_fn, inv_diag, tau, r, r,
+            return level_smooth(level_idx, apply_fn, inv_diag, r, r,
                                 config.mg_coarse_iters, True)
 
-        z = level_smooth(level_idx, apply_fn, inv_diag, tau, r, r, nu, True)
+        z = level_smooth(level_idx, apply_fn, inv_diag, r, r, nu, True)
         coarse_shape = levels[level_idx].shape
         restrict = make_restrict(shape, coarse_shape, r.dtype)
         rc = restrict(r - apply_fn(z))
         zc = vcycle(rc, level_idx + 1)
         z = z + prolong(zc, shape)
-        return level_smooth(level_idx, apply_fn, inv_diag, tau, r, z,
+        return level_smooth(level_idx, apply_fn, inv_diag, r, z,
                             config.mg_post_smooth, False)
 
     return lambda r: vcycle(r, 0)

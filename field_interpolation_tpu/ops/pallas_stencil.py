@@ -476,18 +476,69 @@ def fused_normal_apply_ext(x_ext: jax.Array, coeff: jax.Array,
 # ---------------------------------------------------------------------------
 
 
+def _cheb_inplace(z_ref, zp_ref, r_ref, c_ref, id_ref, cf_ref, az_ref,
+                  weights: Weights, ndim: int, sweeps: int, from_zero: bool,
+                  diag_data: bool = False):
+    """Chebyshev analog of _smooth_inplace (multigrid.chebyshev_coefs):
+    z⁺ = z + c1_k·(z − z_prev) + c2_k·D⁻¹(r − A z), with the schedule in
+    SMEM (cf_ref [ν, 2]) and D⁻¹ UNSCALED in id_ref. zp_ref: same-shape
+    scratch holding z_prev. Row 0 of the schedule is (0, 1/θ), so the
+    from-zero first step is just z = c2₀·D⁻¹r (apply(0) == 0 peeled)."""
+    if from_zero:
+        if sweeps == 0:
+            z_ref[...] = jnp.zeros(z_ref.shape, z_ref.dtype)
+            return
+        zp_ref[...] = jnp.zeros(z_ref.shape, z_ref.dtype)
+        z_ref[...] = cf_ref[0, 1] * (id_ref[...] * r_ref[...])
+        start = 1
+    else:
+        zp_ref[...] = z_ref[...]
+        start = 0
+    for k in range(start, sweeps):
+        _kernel_body(z_ref, c_ref, az_ref, weights, ndim, diag_data)
+        delta = (cf_ref[k, 0] * (z_ref[...] - zp_ref[...])
+                 + cf_ref[k, 1] * (id_ref[...]
+                                   * (r_ref[...] - az_ref[...])))
+        zp_ref[...] = z_ref[...]
+        z_ref[...] += delta
+
+
 @functools.partial(jax.jit,
                    static_argnames=("weights", "ndim", "sweeps",
                                     "from_zero", "interpret", "diag_data"))
 def fused_smooth(r: jax.Array, z: jax.Array, coeff: jax.Array,
                  scaled_inv_diag: jax.Array, weights: Weights, ndim: int,
                  sweeps: int, from_zero: bool = False,
-                 interpret: bool = False, diag_data: bool = False) -> jax.Array:
-    """VMEM-resident ν-sweep damped Jacobi on (S + DᵀWD) z = r.
+                 interpret: bool = False, diag_data: bool = False,
+                 cheb_coefs=None) -> jax.Array:
+    """VMEM-resident ν-sweep smoothing on (S + DᵀWD) z = r.
 
-    ``scaled_inv_diag`` = τ·D⁻¹ (the damping τ is a traced value, so the
-    caller folds it in). ``diag_data=True``: coeff is a [*shape] diagonal
-    data term (see _kernel_body)."""
+    Jacobi (default): ``scaled_inv_diag`` = τ·D⁻¹ (the damping τ is a
+    traced value, so the caller folds it in). Chebyshev
+    (``cheb_coefs`` = {ν: [ν, 2] schedule}): ``scaled_inv_diag`` = D⁻¹
+    unscaled, per-sweep scalars ride in SMEM (see _cheb_inplace).
+    ``diag_data=True``: coeff is a [*shape] diagonal data term
+    (see _kernel_body)."""
+    if cheb_coefs is not None:
+        cf = cheb_coefs[sweeps]
+
+        def kernel_c(cf_ref, r_ref, z_ref, c_ref, d_ref, o_ref, az_ref,
+                     zp_ref):
+            if not from_zero:
+                o_ref[...] = z_ref[...]
+            _cheb_inplace(o_ref, zp_ref, r_ref, c_ref, d_ref, cf_ref,
+                          az_ref, weights, ndim, sweeps, from_zero,
+                          diag_data)
+
+        return pl.pallas_call(
+            kernel_c,
+            out_shape=jax.ShapeDtypeStruct(z.shape, z.dtype),
+            in_specs=[_wspec(cf.shape, pltpu.SMEM)]
+            + [_wspec(a.shape) for a in (r, z, coeff, scaled_inv_diag)],
+            out_specs=_wspec(z.shape),
+            scratch_shapes=[pltpu.VMEM(z.shape, z.dtype)] * 2,
+            interpret=interpret,
+        )(cf, r, z, coeff, scaled_inv_diag)
 
     def kernel(r_ref, z_ref, c_ref, d_ref, o_ref, az_ref):
         first = from_zero
@@ -598,7 +649,8 @@ def _apply_rows_ext(z_ref, c_ref, az_ref, weights: Weights, lo: int, hi: int,
 def fused_smooth_striped(r: jax.Array, z: jax.Array, coeff: jax.Array,
                          scaled_inv_diag: jax.Array, weights: Weights,
                          sweeps: int, stripe: int, from_zero: bool = False,
-                         interpret: bool = False) -> jax.Array:
+                         interpret: bool = False,
+                         cheb_coefs=None) -> jax.Array:
     """Multi-sweep damped Jacobi for beyond-VMEM 2D grids: ALL ``sweeps``
     run per stripe with the 9-channel coeff block read ONCE (the per-sweep
     one-kernel path re-reads it every sweep — coeff traffic dominates, so
@@ -630,8 +682,16 @@ def fused_smooth_striped(r: jax.Array, z: jax.Array, coeff: jax.Array,
     def cnext_map(i):
         return (_z(), jnp.minimum(i * hb + hb, n_blocks * hb - 1), _z())
 
-    def kernel(rp, rc, rn, zp, zc, zn, sp, sc, sn, cp, cc, cn, o_ref,
-               z_s, r_s, s_s, c_s, az_s):
+    cheb = cheb_coefs is not None
+    cf_arr = cheb_coefs[sweeps] if cheb else None
+
+    def kernel(*refs):
+        if cheb:
+            (cf_ref, rp, rc, rn, zp, zc, zn, sp, sc, sn, cp, cc, cn, o_ref,
+             z_s, r_s, s_s, c_s, az_s, zp_s) = refs
+        else:
+            (rp, rc, rn, zp, zc, zn, sp, sc, sn, cp, cc, cn, o_ref,
+             z_s, r_s, s_s, c_s, az_s) = refs
         i = pl.program_id(0)
         row0_g = i * T - h
         r_s[...] = jnp.concatenate([rp[...], rc[...], rn[...]], axis=0)
@@ -639,16 +699,31 @@ def fused_smooth_striped(r: jax.Array, z: jax.Array, coeff: jax.Array,
         c_s[...] = jnp.concatenate([cp[...], cc[...], cn[...]], axis=1)
         n_sw = sweeps
         if from_zero:
-            z_s[...] = s_s[...] * r_s[...]
+            if cheb:
+                zp_s[...] = jnp.zeros(zp_s.shape, zp_s.dtype)
+                z_s[...] = cf_ref[0, 1] * (s_s[...] * r_s[...])
+            else:
+                z_s[...] = s_s[...] * r_s[...]
             n_sw = sweeps - 1
         else:
             z_s[...] = jnp.concatenate([zp[...], zc[...], zn[...]], axis=0)
+            if cheb:
+                zp_s[...] = z_s[...]
         for s in range(1, n_sw + 1):
             m_out = (n_sw - s) * rho
             lo, hi = h - m_out, h + T + m_out
             _apply_rows_ext(z_s, c_s, az_s, weights, lo, hi, row0_g, n0)
-            z_s[lo:hi] = (z_s[lo:hi]
-                          + s_s[lo:hi] * (r_s[lo:hi] - az_s[lo:hi]))
+            if cheb:
+                # schedule row: applies 1..n_sw map to rows start..sweeps-1
+                k = s + (sweeps - 1 - n_sw)
+                delta = (cf_ref[k, 0] * (z_s[lo:hi] - zp_s[lo:hi])
+                         + cf_ref[k, 1] * (s_s[lo:hi]
+                                           * (r_s[lo:hi] - az_s[lo:hi])))
+                zp_s[lo:hi] = z_s[lo:hi]
+                z_s[lo:hi] += delta
+            else:
+                z_s[lo:hi] = (z_s[lo:hi]
+                              + s_s[lo:hi] * (r_s[lo:hi] - az_s[lo:hi]))
         o_ref[...] = z_s[h:h + T]
 
     blk_h = pl.BlockSpec((h, n1), prev_map, memory_space=pltpu.VMEM)
@@ -662,19 +737,25 @@ def fused_smooth_striped(r: jax.Array, z: jax.Array, coeff: jax.Array,
         pl.BlockSpec((9, h, n1), cnext_map, memory_space=pltpu.VMEM),
     ]
     E = T + 2 * h
+    scratch = ([pltpu.VMEM((E, n1), jnp.float32)] * 3
+               + [pltpu.VMEM((9, E, n1), jnp.float32),
+                  pltpu.VMEM((E, n1), jnp.float32)])
+    cf_ins, cf_specs = (), []
+    if cheb:
+        scratch += [pltpu.VMEM((E, n1), jnp.float32)]
+        cf_ins = (cf_arr,)
+        cf_specs = [_wspec(cf_arr.shape, pltpu.SMEM)]
     return pl.pallas_call(
         kernel,
         grid=(n_blocks,),
         out_shape=jax.ShapeDtypeStruct(z.shape, z.dtype),
-        in_specs=in_specs,
+        in_specs=cf_specs + in_specs,
         out_specs=pl.BlockSpec((T, n1), lambda i: (i, _z()),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((E, n1), jnp.float32)] * 3
-                       + [pltpu.VMEM((9, E, n1), jnp.float32),
-                          pltpu.VMEM((E, n1), jnp.float32)],
+        scratch_shapes=scratch,
         interpret=interpret,
-    )(r, r, r, z, z, z, scaled_inv_diag, scaled_inv_diag, scaled_inv_diag,
-      coeff, coeff, coeff)
+    )(*cf_ins, r, r, r, z, z, z, scaled_inv_diag, scaled_inv_diag,
+      scaled_inv_diag, coeff, coeff, coeff)
 
 # ---------------------------------------------------------------------------
 # 2D-TILED multi-sweep smoother: same coeff-read-once idea as
@@ -792,7 +873,8 @@ def fused_smooth_tiled(r: jax.Array, z: jax.Array, coeff: jax.Array,
                        scaled_inv_diag: jax.Array, weights: Weights,
                        sweeps: int, tiles: tuple[int, int],
                        from_zero: bool = False,
-                       interpret: bool = False) -> jax.Array:
+                       interpret: bool = False,
+                       cheb_coefs=None) -> jax.Array:
     """2D-tiled multi-sweep damped Jacobi: ALL ``sweeps`` run per (T0, T1)
     tile with the 9-channel coeff block read ONCE (see fused_smooth_striped
     for the traffic argument; this variant reaches 4096-wide grids)."""
@@ -832,13 +914,19 @@ def fused_smooth_tiled(r: jax.Array, z: jax.Array, coeff: jax.Array,
         shape_b = (b0, b1) if lead is None else (lead, b0, b1)
         return pl.BlockSpec(shape_b, imap, memory_space=pltpu.VMEM)
 
+    cheb = cheb_coefs is not None
+    cf_arr = cheb_coefs[sweeps] if cheb else None
+    nc = 1 if cheb else 0
+
     def kernel(*refs):
-        rb = refs[0:9]
-        zb = refs[9:18]
-        sb = refs[18:27]
-        cb = refs[27:36]
-        o_ref = refs[36]
-        r_s, z_s, s_s, az_s, c_s = refs[37:42]
+        cf_ref = refs[0] if cheb else None
+        rb = refs[nc + 0:nc + 9]
+        zb = refs[nc + 9:nc + 18]
+        sb = refs[nc + 18:nc + 27]
+        cb = refs[nc + 27:nc + 36]
+        o_ref = refs[nc + 36]
+        r_s, z_s, s_s, az_s, c_s = refs[nc + 37:nc + 42]
+        zp_s = refs[nc + 42] if cheb else None
 
         def ext2(blocks, sref):
             rows = [jnp.concatenate([blocks[3 * q + c][...]
@@ -857,37 +945,60 @@ def fused_smooth_tiled(r: jax.Array, z: jax.Array, coeff: jax.Array,
         c_s[...] = jnp.concatenate(rows, axis=1)
         n_sw = sweeps
         if from_zero:
-            z_s[...] = s_s[...] * r_s[...]
+            if cheb:
+                zp_s[...] = jnp.zeros(zp_s.shape, zp_s.dtype)
+                z_s[...] = cf_ref[0, 1] * (s_s[...] * r_s[...])
+            else:
+                z_s[...] = s_s[...] * r_s[...]
             n_sw = sweeps - 1
         else:
             ext2(zb, z_s)
+            if cheb:
+                zp_s[...] = z_s[...]
         for s in range(1, n_sw + 1):
             m = (n_sw - s) * rho
             lo0, hi0 = h0 - m, h0 + T0 + m
             lo1, hi1 = h1 - m, h1 + T1 + m
             _apply_rect_ext(z_s, c_s, az_s, weights, lo0, hi0, lo1, hi1,
                             row0_g, col0_g, n0, n1)
-            z_s[lo0:hi0, lo1:hi1] = (
-                z_s[lo0:hi0, lo1:hi1]
-                + s_s[lo0:hi0, lo1:hi1]
-                * (r_s[lo0:hi0, lo1:hi1] - az_s[lo0:hi0, lo1:hi1]))
+            if cheb:
+                k = s + (sweeps - 1 - n_sw)
+                delta = (cf_ref[k, 0]
+                         * (z_s[lo0:hi0, lo1:hi1] - zp_s[lo0:hi0, lo1:hi1])
+                         + cf_ref[k, 1] * (s_s[lo0:hi0, lo1:hi1]
+                                           * (r_s[lo0:hi0, lo1:hi1]
+                                              - az_s[lo0:hi0, lo1:hi1])))
+                zp_s[lo0:hi0, lo1:hi1] = z_s[lo0:hi0, lo1:hi1]
+                z_s[lo0:hi0, lo1:hi1] += delta
+            else:
+                z_s[lo0:hi0, lo1:hi1] = (
+                    z_s[lo0:hi0, lo1:hi1]
+                    + s_s[lo0:hi0, lo1:hi1]
+                    * (r_s[lo0:hi0, lo1:hi1] - az_s[lo0:hi0, lo1:hi1]))
         o_ref[...] = z_s[h0:h0 + T0, h1:h1 + T1]
 
     in_specs = ([spec(rk, ck) for rk, ck in kinds]          # r
                 + [spec(rk, ck) for rk, ck in kinds]        # z
                 + [spec(rk, ck) for rk, ck in kinds]        # sid
                 + [spec(rk, ck, lead=9) for rk, ck in kinds])  # coeff
+    scratch = ([pltpu.VMEM((E0, E1), jnp.float32)] * 4
+               + [pltpu.VMEM((9, E0, E1), jnp.float32)])
+    cf_ins, cf_specs = (), []
+    if cheb:
+        scratch += [pltpu.VMEM((E0, E1), jnp.float32)]
+        cf_ins = (cf_arr,)
+        cf_specs = [_wspec(cf_arr.shape, pltpu.SMEM)]
     return pl.pallas_call(
         kernel,
         grid=(g0, g1),
         out_shape=jax.ShapeDtypeStruct(z.shape, z.dtype),
-        in_specs=in_specs,
+        in_specs=cf_specs + in_specs,
         out_specs=pl.BlockSpec((T0, T1), lambda i, j: (i, j),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((E0, E1), jnp.float32)] * 4
-                       + [pltpu.VMEM((9, E0, E1), jnp.float32)],
+        scratch_shapes=scratch,
         interpret=interpret,
-    )(*([r] * 9), *([z] * 9), *([scaled_inv_diag] * 9), *([coeff] * 9))
+    )(*cf_ins, *([r] * 9), *([z] * 9), *([scaled_inv_diag] * 9),
+      *([coeff] * 9))
 
 
 # ---------------------------------------------------------------------------
@@ -912,12 +1023,37 @@ def _smooth_inplace(z_ref, r_ref, c_ref, sid_ref, az_ref, weights, ndim,
         z_ref[...] = z_ref[...] + sid_ref[...] * (r_ref[...] - az_ref[...])
 
 
-def _vc_down_call(r, coeffs, sids, Rs, level_weights, nu_pre, interpret):
+def _lvl_shapes(coeffs, ndim):
+    """Per-level grid shapes from the operand ranks: [3^D, *shape] full
+    stencils (fine level always; galerkin coarse levels) vs bare [*shape]
+    diagonal data arrays."""
+    return [c.shape[1:] if c.ndim == ndim + 1 else c.shape for c in coeffs]
+
+
+def _lvl_smooth(l, z_refs, zp_refs, r_ref, c_refs, sid_refs, cf_refs,
+                az_refs, level_weights, ndim, nu, from_zero):
+    """One level's ν smoothing sweeps: Jacobi (cf_refs None) or Chebyshev.
+    diag-vs-full data form is read off the coefficient ref's rank."""
+    dd = len(c_refs[l].shape) == ndim
+    if cf_refs is not None:
+        _cheb_inplace(z_refs[l], zp_refs[l], r_ref, c_refs[l], sid_refs[l],
+                      cf_refs[l], az_refs[l], level_weights[l], ndim, nu,
+                      from_zero, dd)
+    else:
+        _smooth_inplace(z_refs[l], r_ref, c_refs[l], sid_refs[l],
+                        az_refs[l], level_weights[l], ndim, nu, from_zero,
+                        dd)
+
+
+def _vc_down_call(r, coeffs, sids, Rs, level_weights, nu_pre, interpret,
+                  cfs=None):
     """Pre-smooth + residual-restrict at every level; returns the per-level
-    partial solutions z_0..z_{L-2} and residuals r_1..r_{L-1}."""
+    partial solutions z_0..z_{L-2} and residuals r_1..r_{L-1}.
+    ``cfs``: per-level Chebyshev schedules (SMEM) or None = Jacobi."""
     L = len(coeffs)
-    shapes = ([coeffs[0].shape[1:]]
-              + [c.shape for c in coeffs[1:]])  # coarse = diag data
+    shapes = _lvl_shapes(coeffs, 2)
+    cheb = cfs is not None
+    n_cf = L - 1 if cheb else 0
 
     def kernel(*refs):
         cur = [0]
@@ -927,6 +1063,7 @@ def _vc_down_call(r, coeffs, sids, Rs, level_weights, nu_pre, interpret):
             cur[0] += k
             return out
 
+        cf_refs = take(n_cf) if cheb else None
         (r0_ref,) = take(1)
         c_refs = take(L)
         sid_refs = take(L)
@@ -934,14 +1071,15 @@ def _vc_down_call(r, coeffs, sids, Rs, level_weights, nu_pre, interpret):
         z_refs = take(L - 1)          # outputs
         r_out_refs = take(L - 1)      # outputs: r_1..r_{L-1}
         az_refs = take(L - 1)         # scratch
+        zp_refs = take(L - 1) if cheb else None
         r_refs = (r0_ref,) + r_out_refs
 
         for l in range(L - 1):
-            _smooth_inplace(z_refs[l], r_refs[l], c_refs[l], sid_refs[l],
-                            az_refs[l], level_weights[l], 2, nu_pre, True,
-                            l > 0)
+            dd = len(c_refs[l].shape) == 2
+            _lvl_smooth(l, z_refs, zp_refs, r_refs[l], c_refs, sid_refs,
+                        cf_refs, az_refs, level_weights, 2, nu_pre, True)
             _kernel_body(z_refs[l], c_refs[l], az_refs[l], level_weights[l],
-                         2, l > 0)
+                         2, dd)
             res = r_refs[l][...] - az_refs[l][...]
             R0 = R_refs[2 * l][...]
             R1 = R_refs[2 * l + 1][...]
@@ -951,26 +1089,31 @@ def _vc_down_call(r, coeffs, sids, Rs, level_weights, nu_pre, interpret):
                   for l in range(L - 1)]
                  + [jax.ShapeDtypeStruct(shapes[l], jnp.float32)
                     for l in range(1, L)])
+    cf_ins = tuple(cfs[:L - 1]) if cheb else ()
+    scratch = [pltpu.VMEM(shapes[l], jnp.float32) for l in range(L - 1)]
+    if cheb:
+        scratch += [pltpu.VMEM(shapes[l], jnp.float32) for l in range(L - 1)]
     outs = pl.pallas_call(
         kernel,
         out_shape=tuple(out_shape),
-        in_specs=[_wspec(a.shape) for a in (r, *coeffs, *sids, *Rs)],
+        in_specs=[_wspec(a.shape, pltpu.SMEM) for a in cf_ins]
+        + [_wspec(a.shape) for a in (r, *coeffs, *sids, *Rs)],
         out_specs=tuple(_wspec(o.shape) for o in out_shape),
-        scratch_shapes=[pltpu.VMEM(shapes[l], jnp.float32)
-                        for l in range(L - 1)],
+        scratch_shapes=scratch,
         interpret=interpret,
-    )(r, *coeffs, *sids, *Rs)
+    )(*cf_ins, r, *coeffs, *sids, *Rs)
     zs = outs[:L - 1]
     rs = outs[L - 1:]
     return zs, rs
 
 
 def _vc_up_call(zs, zc, rs_all, coeffs, sids, Rs, level_weights, nu_post,
-                interpret):
+                interpret, cfs=None):
     """Prolong-add + post-smooth from the coarsest solution zc upward."""
     L = len(coeffs)
-    shapes = ([coeffs[0].shape[1:]]
-              + [c.shape for c in coeffs[1:]])  # coarse = diag data
+    shapes = _lvl_shapes(coeffs, 2)
+    cheb = cfs is not None
+    n_cf = L - 1 if cheb else 0
 
     def kernel(*refs):
         cur = [0]
@@ -980,6 +1123,7 @@ def _vc_up_call(zs, zc, rs_all, coeffs, sids, Rs, level_weights, nu_post,
             cur[0] += k
             return out
 
+        cf_refs = take(n_cf) if cheb else None
         z_in = take(L - 1)
         (zc_ref,) = take(1)
         r_refs = take(L - 1)  # r_0..r_{L-2}; coarsest needs no post-smooth
@@ -989,6 +1133,7 @@ def _vc_up_call(zs, zc, rs_all, coeffs, sids, Rs, level_weights, nu_post,
         (z0_out,) = take(1)
         z_scr = take(L - 2)           # scratch for intermediate levels
         az_refs = take(L - 1)
+        zp_refs = take(L - 1) if cheb else None
         z_refs = (z0_out,) + z_scr + (zc_ref,)
 
         # copy the down-sweep partial solutions into working buffers
@@ -1000,40 +1145,44 @@ def _vc_up_call(zs, zc, rs_all, coeffs, sids, Rs, level_weights, nu_post,
             R0 = R_refs[2 * l][...]
             R1 = R_refs[2 * l + 1][...]
             z_refs[l][...] += _mm(_mm(R0.T, z_refs[l + 1][...]), R1)
-            _smooth_inplace(z_refs[l], r_refs[l], c_refs[l], sid_refs[l],
-                            az_refs[l], level_weights[l], 2, nu_post, False,
-                            l > 0)
+            _lvl_smooth(l, z_refs, zp_refs, r_refs[l], c_refs, sid_refs,
+                        cf_refs, az_refs, level_weights, 2, nu_post, False)
 
+    cf_ins = tuple(cfs[:L - 1]) if cheb else ()
     ins = (*zs, zc, *rs_all, *coeffs, *sids, *Rs)
+    scratch = ([pltpu.VMEM(shapes[l], jnp.float32) for l in range(1, L - 1)]
+               + [pltpu.VMEM(shapes[l], jnp.float32) for l in range(L - 1)])
+    if cheb:
+        scratch += [pltpu.VMEM(shapes[l], jnp.float32) for l in range(L - 1)]
     return pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct(shapes[0], jnp.float32),
-        in_specs=[_wspec(a.shape) for a in ins],
+        in_specs=[_wspec(a.shape, pltpu.SMEM) for a in cf_ins]
+        + [_wspec(a.shape) for a in ins],
         out_specs=_wspec(shapes[0]),
-        scratch_shapes=([pltpu.VMEM(shapes[l], jnp.float32)
-                         for l in range(1, L - 1)]
-                        + [pltpu.VMEM(shapes[l], jnp.float32)
-                           for l in range(L - 1)]),
+        scratch_shapes=scratch,
         interpret=interpret,
-    )(*ins)
+    )(*cf_ins, *ins)
 
 
 def fused_vcycle_2d(r, coeffs, sids, Rs, inv_c, level_weights,
-                    nu_pre, nu_post, interpret=False):
+                    nu_pre, nu_post, interpret=False, cheb_coefs=None):
     """One symmetric V-cycle as 2 Pallas kernels + 1 XLA dense matvec.
 
-    r: [n0, n1] residual. coeffs[l]: (9, *shape_l). sids[l]: tau_l·D_l⁻¹.
-    Rs: flat list of 2(L-1) per-axis restriction matrices
+    r: [n0, n1] residual. coeffs[l]: (9, *shape_l) full data stencil or
+    [*shape_l] diagonal (rank-discriminated). sids[l]: τ_l·D_l⁻¹ (Jacobi)
+    or D_l⁻¹ (Chebyshev, with ``cheb_coefs`` the per-level [ν, 2] SMEM
+    schedules). Rs: flat list of 2(L-1) per-axis restriction matrices
     [R0_ax0, R0_ax1, R1_ax0, R1_ax1, ...], R of shape [n_{l+1,d}, n_{l,d}].
     inv_c: dense inverse of the coarsest operator. level_weights[l]: Weights.
     """
     zs, rs = _vc_down_call(r, coeffs, sids, Rs, level_weights, nu_pre,
-                           interpret)
+                           interpret, cfs=cheb_coefs)
     rc = rs[-1]
     zc = jnp.dot(inv_c, rc.ravel(), preferred_element_type=jnp.float32,
                  precision=jax.lax.Precision.HIGHEST).reshape(rc.shape)
     return _vc_up_call(zs, zc, (r,) + tuple(rs[:-1]), coeffs, sids, Rs,
-                       level_weights, nu_post, interpret)
+                       level_weights, nu_post, interpret, cfs=cheb_coefs)
 
 
 # ---------------------------------------------------------------------------
@@ -1227,16 +1376,19 @@ def _coarse_solve_inkernel(inv4, rc):
 
 
 def _vcycle_refs(r0_ref, z_refs, r_scr, az_refs, c_refs, sid_refs, R_refs,
-                 inv_ref, level_weights, nu):
+                 inv_ref, level_weights, nu, cf_refs=None, zp_refs=None):
     """Symmetric V-cycle on kernel refs: reads the residual from ``r0_ref``,
-    leaves the correction in ``z_refs[0]``. Used by fused_pcg_solve."""
+    leaves the correction in ``z_refs[0]``. Used by fused_pcg_solve.
+    ``cf_refs``/``zp_refs``: per-level Chebyshev SMEM schedules + z_prev
+    scratches, or None = damped Jacobi."""
     L = len(c_refs)
     r_all = (r0_ref,) + tuple(r_scr)
     for l in range(L - 1):
-        _smooth_inplace(z_refs[l], r_all[l], c_refs[l], sid_refs[l],
-                        az_refs[l], level_weights[l], 2, nu, True, l > 0)
+        dd = len(c_refs[l].shape) == 2
+        _lvl_smooth(l, z_refs, zp_refs, r_all[l], c_refs, sid_refs,
+                    cf_refs, az_refs, level_weights, 2, nu, True)
         _kernel_body(z_refs[l], c_refs[l], az_refs[l], level_weights[l], 2,
-                     l > 0)
+                     dd)
         res = r_all[l][...] - az_refs[l][...]
         R0 = R_refs[2 * l][...]
         R1 = R_refs[2 * l + 1][...]
@@ -1247,12 +1399,12 @@ def _vcycle_refs(r0_ref, z_refs, r_scr, az_refs, c_refs, sid_refs, R_refs,
         R0 = R_refs[2 * l][...]
         R1 = R_refs[2 * l + 1][...]
         z_refs[l][...] += _mm(_mm(R0.T, z_refs[l + 1][...]), R1)
-        _smooth_inplace(z_refs[l], r_all[l], c_refs[l], sid_refs[l],
-                        az_refs[l], level_weights[l], 2, nu, False, l > 0)
+        _lvl_smooth(l, z_refs, zp_refs, r_all[l], c_refs, sid_refs,
+                    cf_refs, az_refs, level_weights, 2, nu, False)
 
 
 def fused_pcg_solve(x, r, tol2, iter_budget, coeffs, sids, Rs, inv_c,
-                    level_weights, nu, interpret=False):
+                    level_weights, nu, interpret=False, cheb_coefs=None):
     """One safeguard SEGMENT of MG-PCG entirely inside ONE Pallas kernel.
 
     z = V(r); p = z; then a lax.while_loop of full CG iterations (operator
@@ -1268,10 +1420,11 @@ def fused_pcg_solve(x, r, tol2, iter_budget, coeffs, sids, Rs, inv_c,
     (1,1) f32 / i32 scalars. Returns (x_out, iters (1,1) i32, rr (1,1) f32).
     """
     L = len(coeffs)
-    shapes = ([coeffs[0].shape[1:]]
-              + [c.shape for c in coeffs[1:]])  # coarse = diag data
+    shapes = _lvl_shapes(coeffs, 2)
     nc0, nc1 = shapes[-1]
     inv4 = inv_c.reshape(nc0, nc1, nc0, nc1)
+    cheb = cheb_coefs is not None
+    n_cf = L - 1 if cheb else 0
 
     def kernel(*refs):
         cur = [0]
@@ -1282,6 +1435,7 @@ def fused_pcg_solve(x, r, tol2, iter_budget, coeffs, sids, Rs, inv_c,
             return out
 
         (tol2_ref, budget_ref) = take(2)           # SMEM scalars
+        cf_refs = take(n_cf) if cheb else None
         (x_ref, r_ref) = take(2)
         c_refs = take(L)
         sid_refs = take(L)
@@ -1292,11 +1446,12 @@ def fused_pcg_solve(x, r, tol2, iter_budget, coeffs, sids, Rs, inv_c,
         z_refs = take(L)
         r_scr = take(L - 1)
         az_refs = take(L - 1)
+        zp_refs = take(L - 1) if cheb else None
 
         xo_ref[...] = x_ref[...]
         rw_ref[...] = r_ref[...]
         _vcycle_refs(rw_ref, z_refs, r_scr, az_refs, c_refs, sid_refs,
-                     R_refs, inv_ref, level_weights, nu)
+                     R_refs, inv_ref, level_weights, nu, cf_refs, zp_refs)
         p_ref[...] = z_refs[0][...]
         rz0 = jnp.sum(rw_ref[...] * z_refs[0][...])
         rr0 = jnp.sum(rw_ref[...] * rw_ref[...])
@@ -1317,7 +1472,8 @@ def fused_pcg_solve(x, r, tol2, iter_budget, coeffs, sids, Rs, inv_c,
             rw_ref[...] -= alpha * Ap
             rr_new = jnp.sum(rw_ref[...] * rw_ref[...])
             _vcycle_refs(rw_ref, z_refs, r_scr, az_refs, c_refs, sid_refs,
-                         R_refs, inv_ref, level_weights, nu)
+                         R_refs, inv_ref, level_weights, nu, cf_refs,
+                         zp_refs)
             z0 = z_refs[0][...]
             rz_new = jnp.sum(rw_ref[...] * z0)
             beta = jnp.where(rz > 0, rz_new / rz, 0.0)
@@ -1329,8 +1485,10 @@ def fused_pcg_solve(x, r, tol2, iter_budget, coeffs, sids, Rs, inv_c,
         ko_ref[0, 0] = k
         rro_ref[0, 0] = rr
 
+    cf_ins = tuple(cheb_coefs[:L - 1]) if cheb else ()
     vins = (x, r, *coeffs, *sids, *Rs, inv4)
     in_specs = ([_wspec((1, 1), pltpu.SMEM)] * 2
+                + [_wspec(a.shape, pltpu.SMEM) for a in cf_ins]
                 + [_wspec(a.shape) for a in vins])
     out_shape = (jax.ShapeDtypeStruct(shapes[0], jnp.float32),
                  jax.ShapeDtypeStruct((1, 1), jnp.int32),
@@ -1338,20 +1496,20 @@ def fused_pcg_solve(x, r, tol2, iter_budget, coeffs, sids, Rs, inv_c,
     out_specs = (_wspec(shapes[0]),
                  _wspec((1, 1), pltpu.SMEM),
                  _wspec((1, 1), pltpu.SMEM))
+    scratch = ([pltpu.VMEM(shapes[0], jnp.float32)] * 2
+               + [pltpu.VMEM(shapes[l], jnp.float32) for l in range(L)]
+               + [pltpu.VMEM(shapes[l], jnp.float32) for l in range(1, L)]
+               + [pltpu.VMEM(shapes[l], jnp.float32) for l in range(L - 1)])
+    if cheb:
+        scratch += [pltpu.VMEM(shapes[l], jnp.float32) for l in range(L - 1)]
     outs = pl.pallas_call(
         kernel,
         out_shape=out_shape,
         in_specs=in_specs,
         out_specs=out_specs,
-        scratch_shapes=([pltpu.VMEM(shapes[0], jnp.float32)] * 2
-                        + [pltpu.VMEM(shapes[l], jnp.float32)
-                           for l in range(L)]
-                        + [pltpu.VMEM(shapes[l], jnp.float32)
-                           for l in range(1, L)]
-                        + [pltpu.VMEM(shapes[l], jnp.float32)
-                           for l in range(L - 1)]),
+        scratch_shapes=scratch,
         interpret=interpret,
-    )(tol2, iter_budget, x, r, *coeffs, *sids, *Rs, inv4)
+    )(tol2, iter_budget, *cf_ins, x, r, *coeffs, *sids, *Rs, inv4)
     return outs
 
 # ---------------------------------------------------------------------------

@@ -368,6 +368,9 @@ class _MGPlan:
     # per transition t (shapes[t] -> shapes[t+1]): ("ss"|"boundary"|"rr",
     #   changing-axes tuple, per-changing-axis (hR, hP) tuple)
     trans: tuple
+    # Chebyshev sweep counts with precomputed schedules (empty = Jacobi):
+    # cheb_cfs[li][cheb_nus.index(n)] is level li's [n, 2] schedule.
+    cheb_nus: tuple = ()
 
 
 def _make_mg_plan(problem: Problem, mesh: Mesh, config: SolverConfig):
@@ -406,14 +409,35 @@ def _make_mg_plan(problem: Problem, mesh: Mesh, config: SolverConfig):
     rep = P()
     dtype = problem.diag.dtype
 
+    # The distributed hierarchy keeps the LUMPED coarse data term even when
+    # mg_coarse_data="galerkin": distributing the full 3^D coarse stencil
+    # (banded channel-mixing transfer + full-stencil halo smoothing) is not
+    # implemented — iteration parity with the unsharded solver is therefore
+    # stated for mg_coarse_data="lumped" configs.
+    import dataclasses as _dc
+    if config.mg_coarse_data != "lumped":
+        config = _dc.replace(config, mg_coarse_data="lumped")
     levels = build_levels(problem, config)
     K = len(levels)
     shapes = (grid.shape,) + tuple(l.shape for l in levels)
 
     # Lumping rule + damping taus: the SAME build_smoothing_setup call the
     # unsharded V-cycle makes (iteration-count parity by construction).
-    lump, fine_ddiag, taus = build_smoothing_setup(problem, levels, config)
+    lump, fine_ddiag, taus, rhos = build_smoothing_setup(problem, levels,
+                                                         config)
     taus = jnp.stack([t.astype(jnp.float32) for t in taus])
+    # Chebyshev smoothing schedules (replicated [nu, 2] scalars per level
+    # and sweep count — pre/post may differ); None rows for Jacobi.
+    cheb_cfs = None
+    if config.mg_smoother.startswith("chebyshev"):
+        from ..multigrid import chebyshev_coefs
+        nus = sorted({config.mg_pre_smooth, config.mg_post_smooth,
+                      config.mg_coarse_iters} - {0})
+        cheb_cfs = tuple(tuple(chebyshev_coefs(r, n, config)
+                               for n in nus) for r in rhos)
+        cheb_nus = tuple(nus)
+    else:
+        cheb_nus = ()
 
     radii = tuple(max([k for k in l.weights.active_orders() if k > 0],
                       default=0) for l in levels)
@@ -454,7 +478,7 @@ def _make_mg_plan(problem: Problem, mesh: Mesh, config: SolverConfig):
     plan = _MGPlan(shapes=shapes, fweights=problem.weights,
                    lweights=tuple(l.weights for l in levels),
                    radii=radii, n_sh=n_sh, lump=lump, has_dense=has_dense,
-                   trans=tuple(trans_meta))
+                   trans=tuple(trans_meta), cheb_nus=cheb_nus)
 
     # ---- operand arrays + their partition specs (matching pytrees) -------
     ddiags, invdiags, sp_dd = [], [], []
@@ -487,9 +511,11 @@ def _make_mg_plan(problem: Problem, mesh: Mesh, config: SolverConfig):
         return jax.tree_util.tree_map(lambda _: rep, tree)
 
     ops = (taus, fine_ddiag.astype(dtype), tuple(ddiags), tuple(invdiags),
-           tuple(tR), tuple(tP), inv_c)
+           tuple(tR), tuple(tP), inv_c,
+           cheb_cfs if cheb_cfs is not None else ())
     specs = (rep, spec_g, tuple(sp_dd), tuple(sp_dd),
-             _reps(tuple(tR)), _reps(tuple(tP)), rep)
+             _reps(tuple(tR)), _reps(tuple(tP)), rep,
+             _reps(cheb_cfs) if cheb_cfs is not None else ())
     return plan, ops, specs
 
 
@@ -498,7 +524,7 @@ def _make_mg_precond(plan: _MGPlan, ops, apply_fn, diag_l, mesh: Mesh,
     """r_loc -> z_loc: one symmetric distributed V-cycle inside shard_map
     (see _make_mg_plan). ``apply_fn`` is the exact sharded fine-level apply;
     ``diag_l`` the local block of the fine diagonal."""
-    taus, fine_dd_l, ddiags, invdiags, tR, tP, inv_c = ops
+    taus, fine_dd_l, ddiags, invdiags, tR, tP, inv_c, cheb_cfs = ops
     nd = len(plan.shapes[0])
     axis_names = tuple(mesh.axis_names[:nd])
     shards = tuple(mesh.shape[a] for a in axis_names) + (1,) * (nd - len(axis_names))
@@ -584,6 +610,25 @@ def _make_mg_precond(plan: _MGPlan, ops, apply_fn, diag_l, mesh: Mesh,
 
     def smooth(li, r, z, iters, from_zero):
         inv_d = fine_inv_diag if li == 0 else invdiags[li - 1]
+        if plan.cheb_nus:
+            # Chebyshev recurrence in iterate-difference form (see
+            # multigrid.chebyshev_coefs); schedules are replicated scalars,
+            # the applies are the usual halo-exchanged level applies.
+            if iters == 0:
+                return jnp.zeros_like(r) if from_zero else z
+            cf = cheb_cfs[li][plan.cheb_nus.index(iters)].astype(r.dtype)
+            if from_zero:
+                zp = jnp.zeros_like(r)
+                z = cf[0, 1] * (inv_d * r)  # apply(0) == 0
+                start = 1
+            else:
+                zp = z
+                start = 0
+            for k in range(start, iters):
+                az = lev_apply(z, li)
+                z, zp = (z + cf[k, 0] * (z - zp)
+                         + cf[k, 1] * inv_d * (r - az)), z
+            return z
         tau = taus[li].astype(r.dtype)
         if from_zero:
             if iters == 0:

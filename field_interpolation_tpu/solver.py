@@ -148,7 +148,7 @@ def _pcg_fused(ops, b: jax.Array, x0: Optional[jax.Array], *, tol, maxiter,
     on fp32 recurrence drift — the same safeguarded stopping rule as `pcg`.
     ``ops`` comes from multigrid.build_fused_solver_operands."""
     from .ops.pallas_stencil import fused_normal_apply, fused_pcg_solve
-    coeffs, sids, Rs, inv32, lw = ops
+    coeffs, sids, Rs, inv32, lw, cfs = ops
     weights = lw[0]
 
     def apply_f(v):
@@ -169,7 +169,8 @@ def _pcg_fused(ops, b: jax.Array, x0: Optional[jax.Array], *, tol, maxiter,
         x, r, k, segments, _ = state
         budget = jnp.reshape((jnp.int32(maxiter) - k), (1, 1))
         x, iters, _ = fused_pcg_solve(x, r, tol2_s, budget, coeffs, sids,
-                                      Rs, inv32, lw, nu, interpret)
+                                      Rs, inv32, lw, nu, interpret,
+                                      cheb_coefs=cfs)
         k_new = k + iters[0, 0]
         r = b - apply_f(x)  # verify the recurrence exit (see pcg)
         return x, r, k_new, segments + 1, iters[0, 0] > 0

@@ -50,6 +50,36 @@ def test_solve_through_two_axis_striped_3d():
                                rtol=0, atol=2e-2 * scale)
 
 
+def test_refined_true_1e6_two_axis_striped_3d():
+    """The 3D half of config 5 at the HONEST bar (VERDICT r3 item 3): a 3D
+    shape routed through pick_stripe2_3d (same selection the 256³ bench
+    config hits) solved by sdf_from_points_precise — the fp32 inner solves
+    run the two-axis striped kernels inside the refinement loop, and the
+    reported residual must be TRUE f64 ≤1e-6."""
+    rng = np.random.default_rng(2)
+    shape = (16, 192, 128)
+    grid = fi.Grid(shape)
+    assert not ps.fits_vmem(shape)
+    assert ps.pick_stripe(shape, 2) is None
+    assert ps.pick_stripe2_3d(shape) is not None
+    pts, nrm = _sphere_cloud(rng, 400, shape)
+    w = fi.Weights(model_2=0.3)
+    cfg = fi.SolverConfig(tol=1e-6, preconditioner="multigrid",
+                          backend="pallas")
+    from field_interpolation_tpu.sdf import assemble_precise
+    from field_interpolation_tpu.solver import solve_refined
+    pp = assemble_precise(grid, w, jnp.asarray(pts),
+                          jnp.zeros(pts.shape[0], jnp.float32),
+                          gradients=jnp.asarray(nrm))
+    x, info = solve_refined(pp, cfg)
+    assert bool(info.converged), (int(info.iterations),
+                                  float(info.rel_residual))
+    with jax.enable_x64():
+        r = pp.residual64(x)
+        rel = float(jnp.sqrt(jnp.sum(r * r) / jnp.sum(pp.b64 * pp.b64)))
+    assert rel <= 1.1e-6, rel
+
+
 def test_refined_true_1e6_beyond_vmem_striped():
     """solve_refined on a grid past the whole-VMEM gate: the fp32 inner
     solves must run through the STRIPED fused kernel (the 4096² bench
