@@ -763,8 +763,12 @@ def make_vcycle_preconditioner(problem: Problem, config: SolverConfig,
         ops = _fused_vcycle_operands(problem, levels, taus, fine_inv_diag,
                                      inv_diags, coarse_dense, config, rhos)
         if ops is not None:
-            from .ops.pallas_stencil import fused_vcycle_2d
+            from .ops.pallas_stencil import fused_vcycle_2d, fused_wcycle_2d
             coeffs, sids, Rs, inv32, lw, cfs = ops
+            if config.mg_cycle == "w":
+                return lambda r: fused_wcycle_2d(
+                    r, coeffs, sids, Rs, inv32, lw, config.mg_pre_smooth,
+                    interpret=pallas_interpret, cheb_coefs=cfs)
             return lambda r: fused_vcycle_2d(
                 r, coeffs, sids, Rs, inv32, lw, config.mg_pre_smooth,
                 config.mg_post_smooth, interpret=pallas_interpret,
@@ -784,6 +788,8 @@ def make_vcycle_preconditioner(problem: Problem, config: SolverConfig,
         if from_zero:
             z = jnp.zeros_like(r)
         return smooth(apply_fn, inv_diag, level_idx, r, z, iters)
+
+    wcycle = config.mg_cycle == "w"
 
     def vcycle(r, level_idx):
         if level_idx == 0:
@@ -808,6 +814,14 @@ def make_vcycle_preconditioner(problem: Problem, config: SolverConfig,
         restrict = make_restrict(shape, coarse_shape, r.dtype)
         rc = restrict(r - apply_fn(z))
         zc = vcycle(rc, level_idx + 1)
+        if wcycle and level_idx + 1 < len(levels):
+            # Second recursive visit on the residual the first leaves
+            # (skipped when the child is the exactly-solved coarsest —
+            # a second exact solve of a zero residual is a no-op). The
+            # composed child solve 2B − BAB is symmetric, so the W-cycle
+            # remains a valid SPD CG preconditioner (see SolverConfig).
+            rc2 = rc - levels[level_idx].apply(zc)
+            zc = zc + vcycle(rc2, level_idx + 1)
         z = z + prolong(zc, shape)
         return level_smooth(level_idx, apply_fn, inv_diag, r, z,
                             config.mg_post_smooth, False)

@@ -1185,6 +1185,63 @@ def fused_vcycle_2d(r, coeffs, sids, Rs, inv_c, level_weights,
                        level_weights, nu_post, interpret, cfs=cheb_coefs)
 
 
+def fused_wcycle_2d(r, coeffs, sids, Rs, inv_c, level_weights, nu,
+                    interpret=False, cheb_coefs=None):
+    """One symmetric W-cycle as ONE Pallas kernel (same operands as
+    fused_vcycle_2d; the coarsest dense solve runs in-kernel via the
+    reduction-loop matvec). A W-cycle interleaves coarse-level visits with
+    prolongations, so the down/up two-kernel split of the V path cannot
+    express it; everything stays VMEM-resident instead. ``nu`` is both the
+    pre- and post-smoothing count (symmetry requires they match)."""
+    L = len(coeffs)
+    shapes = _lvl_shapes(coeffs, 2)
+    nc0, nc1 = shapes[-1]
+    inv4 = inv_c.reshape(nc0, nc1, nc0, nc1)
+    cheb = cheb_coefs is not None
+    n_cf = L - 1 if cheb else 0
+
+    def kernel(*refs):
+        cur = [0]
+
+        def take(k):
+            out = refs[cur[0]:cur[0] + k]
+            cur[0] += k
+            return out
+
+        cf_refs = take(n_cf) if cheb else None
+        (r_ref,) = take(1)
+        c_refs = take(L)
+        sid_refs = take(L)
+        R_refs = take(2 * (L - 1))
+        (inv_ref,) = take(1)
+        z_out = take(1)
+        z_scr = take(L - 1)
+        r_scr = take(L - 1)
+        az_refs = take(L - 1)
+        zp_refs = take(L - 1) if cheb else None
+        z_refs = z_out + z_scr
+        _vcycle_refs(r_ref, z_refs, r_scr, az_refs, c_refs, sid_refs,
+                     R_refs, inv_ref, level_weights, nu, cf_refs, zp_refs,
+                     wcycle=True)
+
+    cf_ins = tuple(cheb_coefs[:L - 1]) if cheb else ()
+    vins = (r, *coeffs, *sids, *Rs, inv4)
+    scratch = ([pltpu.VMEM(shapes[l], jnp.float32) for l in range(1, L)]
+               + [pltpu.VMEM(shapes[l], jnp.float32) for l in range(1, L)]
+               + [pltpu.VMEM(shapes[l], jnp.float32) for l in range(L - 1)])
+    if cheb:
+        scratch += [pltpu.VMEM(shapes[l], jnp.float32) for l in range(L - 1)]
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(shapes[0], jnp.float32),
+        in_specs=[_wspec(a.shape, pltpu.SMEM) for a in cf_ins]
+        + [_wspec(a.shape) for a in vins],
+        out_specs=_wspec(shapes[0]),
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*cf_ins, *vins)
+
+
 # ---------------------------------------------------------------------------
 # Striped halo-extended kernel: 2D shard blocks too large for whole-VMEM
 # residency (e.g. 4096×512 locals when 4096² is sharded 8-ways). Stripes the
@@ -1376,14 +1433,25 @@ def _coarse_solve_inkernel(inv4, rc):
 
 
 def _vcycle_refs(r0_ref, z_refs, r_scr, az_refs, c_refs, sid_refs, R_refs,
-                 inv_ref, level_weights, nu, cf_refs=None, zp_refs=None):
-    """Symmetric V-cycle on kernel refs: reads the residual from ``r0_ref``,
-    leaves the correction in ``z_refs[0]``. Used by fused_pcg_solve.
+                 inv_ref, level_weights, nu, cf_refs=None, zp_refs=None,
+                 wcycle=False):
+    """Symmetric V- or W-cycle on kernel refs: reads the residual from
+    ``r0_ref``, leaves the correction in ``z_refs[0]``. Used by
+    fused_pcg_solve / fused_wcycle_2d.
     ``cf_refs``/``zp_refs``: per-level Chebyshev SMEM schedules + z_prev
-    scratches, or None = damped Jacobi."""
+    scratches, or None = damped Jacobi. ``wcycle``: two recursive visits
+    per coarse level (second on the residual the first leaves — see
+    SolverConfig.mg_cycle). The W needs NO extra buffers: the first child
+    result is prolonged-added BEFORE its residual update reuses the same
+    r/z level buffers for the second visit."""
     L = len(c_refs)
     r_all = (r0_ref,) + tuple(r_scr)
-    for l in range(L - 1):
+
+    def rec(l):
+        if l == L - 1:
+            z_refs[l][...] = _coarse_solve_inkernel(inv_ref[...],
+                                                    r_all[l][...])
+            return
         dd = len(c_refs[l].shape) == 2
         _lvl_smooth(l, z_refs, zp_refs, r_all[l], c_refs, sid_refs,
                     cf_refs, az_refs, level_weights, 2, nu, True)
@@ -1393,18 +1461,24 @@ def _vcycle_refs(r0_ref, z_refs, r_scr, az_refs, c_refs, sid_refs, R_refs,
         R0 = R_refs[2 * l][...]
         R1 = R_refs[2 * l + 1][...]
         r_all[l + 1][...] = _mm(_mm(R0, res), R1.T)
-    z_refs[L - 1][...] = _coarse_solve_inkernel(inv_ref[...],
-                                                r_all[L - 1][...])
-    for l in range(L - 2, -1, -1):
-        R0 = R_refs[2 * l][...]
-        R1 = R_refs[2 * l + 1][...]
+        rec(l + 1)
         z_refs[l][...] += _mm(_mm(R0.T, z_refs[l + 1][...]), R1)
+        if wcycle and l + 1 < L - 1:
+            dd1 = len(c_refs[l + 1].shape) == 2
+            _kernel_body(z_refs[l + 1], c_refs[l + 1], az_refs[l + 1],
+                         level_weights[l + 1], 2, dd1)
+            r_all[l + 1][...] -= az_refs[l + 1][...]
+            rec(l + 1)
+            z_refs[l][...] += _mm(_mm(R0.T, z_refs[l + 1][...]), R1)
         _lvl_smooth(l, z_refs, zp_refs, r_all[l], c_refs, sid_refs,
                     cf_refs, az_refs, level_weights, 2, nu, False)
 
+    rec(0)
+
 
 def fused_pcg_solve(x, r, tol2, iter_budget, coeffs, sids, Rs, inv_c,
-                    level_weights, nu, interpret=False, cheb_coefs=None):
+                    level_weights, nu, interpret=False, cheb_coefs=None,
+                    wcycle=False):
     """One safeguard SEGMENT of MG-PCG entirely inside ONE Pallas kernel.
 
     z = V(r); p = z; then a lax.while_loop of full CG iterations (operator
@@ -1451,7 +1525,8 @@ def fused_pcg_solve(x, r, tol2, iter_budget, coeffs, sids, Rs, inv_c,
         xo_ref[...] = x_ref[...]
         rw_ref[...] = r_ref[...]
         _vcycle_refs(rw_ref, z_refs, r_scr, az_refs, c_refs, sid_refs,
-                     R_refs, inv_ref, level_weights, nu, cf_refs, zp_refs)
+                     R_refs, inv_ref, level_weights, nu, cf_refs, zp_refs,
+                     wcycle)
         p_ref[...] = z_refs[0][...]
         rz0 = jnp.sum(rw_ref[...] * z_refs[0][...])
         rr0 = jnp.sum(rw_ref[...] * rw_ref[...])
@@ -1473,7 +1548,7 @@ def fused_pcg_solve(x, r, tol2, iter_budget, coeffs, sids, Rs, inv_c,
             rr_new = jnp.sum(rw_ref[...] * rw_ref[...])
             _vcycle_refs(rw_ref, z_refs, r_scr, az_refs, c_refs, sid_refs,
                          R_refs, inv_ref, level_weights, nu, cf_refs,
-                         zp_refs)
+                         zp_refs, wcycle)
             z0 = z_refs[0][...]
             rz_new = jnp.sum(rw_ref[...] * z0)
             beta = jnp.where(rz > 0, rz_new / rz, 0.0)

@@ -140,7 +140,8 @@ def pcg(
 
 
 def _pcg_fused(ops, b: jax.Array, x0: Optional[jax.Array], *, tol, maxiter,
-               max_restarts, nu, interpret) -> tuple[jax.Array, SolveInfo]:
+               max_restarts, nu, interpret,
+               wcycle=False) -> tuple[jax.Array, SolveInfo]:
     """Fully-fused 2D multigrid-PCG: each safeguard SEGMENT (V-cycle, then a
     while-loop of complete CG iterations) runs inside ONE Pallas kernel
     (ops.pallas_stencil.fused_pcg_solve) with all state VMEM-resident; the
@@ -170,7 +171,7 @@ def _pcg_fused(ops, b: jax.Array, x0: Optional[jax.Array], *, tol, maxiter,
         budget = jnp.reshape((jnp.int32(maxiter) - k), (1, 1))
         x, iters, _ = fused_pcg_solve(x, r, tol2_s, budget, coeffs, sids,
                                       Rs, inv32, lw, nu, interpret,
-                                      cheb_coefs=cfs)
+                                      cheb_coefs=cfs, wcycle=wcycle)
         k_new = k + iters[0, 0]
         r = b - apply_f(x)  # verify the recurrence exit (see pcg)
         return x, r, k_new, segments + 1, iters[0, 0] > 0
@@ -271,7 +272,8 @@ def solve(
         return _pcg_fused(fused_ops, problem.b, x0, tol=config.tol,
                           maxiter=config.maxiter,
                           max_restarts=config.max_restarts,
-                          nu=config.mg_pre_smooth, interpret=fused_interpret)
+                          nu=config.mg_pre_smooth, interpret=fused_interpret,
+                          wcycle=config.mg_cycle == "w")
     apply_fn = _make_apply(problem, config)
     return pcg(
         apply_fn,
@@ -343,7 +345,8 @@ def _solve_refined_impl(p64, config: SolverConfig,
             return _pcg_fused(fused_ops, r.astype(jnp.float32), None,
                               tol=inner_tol, maxiter=config.maxiter,
                               max_restarts=1, nu=config.mg_pre_smooth,
-                              interpret=fused_interpret)
+                              interpret=fused_interpret,
+                              wcycle=config.mg_cycle == "w")
         return pcg(apply32, r.astype(jnp.float32),
                    precond_fn=precond, tol=inner_tol,
                    maxiter=config.maxiter,

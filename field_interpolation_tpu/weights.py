@@ -88,6 +88,21 @@ class SolverConfig:
     # rediscretized (energy-matched) either way. The distributed sharded
     # multigrid always uses "lumped" (see parallel.sharded._make_mg_plan).
     mg_coarse_data: str = "lumped"   # "lumped" | "galerkin"
+    # Cycle shape: "v" = one recursive visit per coarse level; "w" = two
+    # (each level's coarse problem is solved by TWO recursive cycles, the
+    # second on the residual the first leaves). For this operator family
+    # the endpoint-aligned LINEAR transfers sit exactly at the order
+    # criterion boundary (m_P + m_R = 4 = 2m for the biharmonic term), so
+    # the per-transition V-cycle loss compounds down the hierarchy — the
+    # round-4 sparse-oracle lab measured 256² headline PCG at 15/25
+    # iterations (1e-4/1e-6) with the V-cycle vs 8/13 with the W-cycle on
+    # the SAME levels, while cubic (order-4) transfers made things WORSE
+    # (20/33; 16/27 even with exact Galerkin coarse operators). The
+    # W-cycle's extra coarse-level visits cost ~1.4x the smoothing FLOPs
+    # but its 2x iteration cut dominates. Composed with symmetric
+    # smoothing and R = Pᵀ the W-cycle stays SPD (the two-visit child
+    # solve is B' = 2B − BAB, symmetric for symmetric B), so CG is safe.
+    mg_cycle: str = "v"              # "v" | "w"
     # Coarsest-level solver: "dense" factors the coarsest operator once at
     # setup (exact inverse, one small MXU matmul per V-cycle — dozens of
     # dispatch-bound Jacobi sweeps replaced by one op); "jacobi" iterates.
