@@ -94,6 +94,7 @@ def solve_batch(
 def solve_refined_batch(
     problems64: Problem,
     config: SolverConfig = SolverConfig(),
+    x0: Optional[jax.Array] = None,            # [B, *grid]
 ) -> tuple[jax.Array, SolveInfo]:
     """Batched mixed-precision solves to TRUE ≤tol residual: vmap of
     solver.solve_refined over problems assembled in float64 (e.g. via
@@ -107,7 +108,11 @@ def solve_refined_batch(
     Mosaic rejects them (VERDICT r2 item 4; measured on v5e). vmap of
     fused_pcg_solve lowers to a batch grid dimension, so each lane's
     in-kernel CG while_loop runs only ITS OWN iterations (sum-of-iters,
-    not lanes × max-iters)."""
+    not lanes × max-iters).
+
+    ``x0`` warm-starts every lane (the reference's interactive re-solve
+    story, C8): the outer f64 loop evaluates a true residual at x0, so a
+    good start skips whole refinement rounds, not just inner iterations."""
     import dataclasses
 
     from .solver import _solve_refined_impl
@@ -119,8 +124,10 @@ def solve_refined_batch(
                 else problems64.p32.grid, config, nb)):
         config = dataclasses.replace(config, mg_coarse_solver="jacobi")
     with jax.enable_x64():
-        return jax.vmap(lambda p: _solve_refined_impl(p, config, None))(
-            problems64)
+        return jax.vmap(
+            lambda p, x0_1: _solve_refined_impl(p, config, x0_1),
+            in_axes=(0, 0 if x0 is not None else None),
+        )(problems64, x0)
 
 
 def assemble_precise_batch(
@@ -153,14 +160,16 @@ def sdf_from_points_precise_batch(
     normals: jax.Array,                        # [B, n, D]
     point_weights: Optional[jax.Array] = None,
     config: SolverConfig = SolverConfig(),
+    x0: Optional[jax.Array] = None,            # [B, *grid]
 ) -> tuple[jax.Array, SolveInfo]:
     """Batched flagship driver at the HONEST bar: B SDF reconstructions, each
     to a TRUE ≤tol relative residual vs its float64 normal equations (batched
-    counterpart of sdf.sdf_from_points_precise; VERDICT r1 item 9)."""
+    counterpart of sdf.sdf_from_points_precise; VERDICT r1 item 9).
+    ``x0`` warm-starts every lane (see solve_refined_batch)."""
     values = jnp.zeros(positions.shape[:2], dtype=jnp.float32)
     pp = assemble_precise_batch(grid, weights, positions, values,
                                 gradients=normals, point_weights=point_weights)
-    return solve_refined_batch(pp, config)
+    return solve_refined_batch(pp, config, x0)
 
 
 def sdf_from_points_batch(

@@ -128,3 +128,29 @@ def test_batched_refined_to_1e6(rng):
                                                    backend="xla"))
     assert bool(jnp.all(ib.converged))
     assert float(jnp.max(ib.rel_residual)) <= 1e-6
+
+
+def test_precise_batch_warm_start_cuts_iterations(rng):
+    """x0 on the batched precise drivers (VERDICT r3 item 8 / reference C8:
+    the interactive re-solve). Warm-starting every lane with the solution of
+    a nearby problem must converge with strictly fewer total iterations than
+    the cold batched solve, and still hit the TRUE <=tol bar."""
+    from field_interpolation_tpu.batch import sdf_from_points_precise_batch
+    grid = Grid((32, 32))
+    weights = Weights(model_2=0.3)
+    pts, nrm = _cloud(rng, 3, 50, grid)
+    cfg = SolverConfig(tol=1e-6, preconditioner="multigrid", backend="xla",
+                       maxiter=3000)
+    xb, ib = sdf_from_points_precise_batch(grid, weights, jnp.asarray(pts),
+                                           jnp.asarray(nrm), config=cfg)
+    # Nudge the points slightly (an interactive edit) and re-solve warm.
+    pts2 = pts + 0.05 * rng.standard_normal(pts.shape).astype(np.float32)
+    xw, iw = sdf_from_points_precise_batch(
+        grid, weights, jnp.asarray(pts2), jnp.asarray(nrm), config=cfg,
+        x0=xb.astype(jnp.float32))
+    xc, ic = sdf_from_points_precise_batch(grid, weights, jnp.asarray(pts2),
+                                           jnp.asarray(nrm), config=cfg)
+    assert bool(jnp.all(iw.converged))
+    assert float(jnp.max(iw.rel_residual)) <= 1e-6
+    assert int(jnp.sum(iw.iterations)) < int(jnp.sum(ic.iterations)), (
+        np.asarray(iw.iterations), np.asarray(ic.iterations))
