@@ -484,3 +484,72 @@ def test_overlap_apply_equals_sequential(rng):
         scale = np.abs(outs[False]).max()
         np.testing.assert_allclose(outs[True], outs[False],
                                    rtol=0, atol=1e-5 * scale)
+
+
+@pytest.mark.parametrize("mesh_shape,names", [
+    ((2, 4), ("x", "y")),
+    ((8,), ("x",)),
+])
+def test_sharded_refined_precise_matter_free(rng, mesh_shape, names):
+    """VERDICT r3 item 4: solve_refined_sharded on a PreciseProblem — the
+    matter-free precision protocol (owner-sharded f64 sample rows, ONE exact
+    f64 residual, incremental hi/lo-fp32 apply64_delta) inside shard_map.
+    Residual parity with the single-chip solve_refined + independent scipy
+    f64 oracle verification."""
+    from field_interpolation_tpu.parallel import solve_refined_sharded
+    from field_interpolation_tpu.sdf import assemble_precise
+    from field_interpolation_tpu.solver import solve_refined
+    from field_interpolation_tpu.explicit import (assemble_explicit,
+                                                  normal_equations)
+
+    grid = Grid((32, 64))
+    weights = Weights(model_2=0.3)
+    n = 200
+    pos = rng.uniform(0, np.asarray(grid.shape) - 1.001, size=(n, 2))
+    vals = rng.standard_normal(n)
+    grads = rng.standard_normal((n, 2))
+
+    pp = assemble_precise(grid, weights, jnp.asarray(pos, jnp.float32),
+                          jnp.asarray(vals, jnp.float32),
+                          gradients=jnp.asarray(grads, jnp.float32))
+    mesh = _mesh(mesh_shape, names)
+    cfg = SolverConfig(tol=1e-6, preconditioner="multigrid", maxiter=20000)
+    x_sh, info_sh = solve_refined_sharded(pp, mesh, cfg)
+    assert bool(info_sh.converged), float(info_sh.rel_residual)
+    assert float(info_sh.rel_residual) <= 1e-6
+
+    # Single-chip parity: both are TRUE-1e-6 solutions of the same system.
+    x_1, info_1 = solve_refined(pp, cfg)
+    scale = float(np.max(np.abs(np.asarray(x_1))))
+    np.testing.assert_allclose(np.asarray(x_sh, np.float64),
+                               np.asarray(x_1, np.float64),
+                               atol=2e-4 * max(scale, 1e-30))
+
+    # Independent f64 verification vs the explicitly assembled oracle.
+    eq = assemble_explicit(grid, weights, pos, vals, grads)
+    AtA, Atb = normal_equations(eq, grid.num_nodes)
+    r = Atb - AtA @ np.asarray(x_sh, np.float64).ravel()
+    rel = np.linalg.norm(r) / np.linalg.norm(Atb)
+    assert rel <= 1.1e-6, rel
+
+
+def test_sharded_refined_precise_warm_start(rng):
+    """x0 through the matter-free sharded refinement: warm-starting with the
+    cold solution converges immediately (round-1 residual already ≤ tol)."""
+    from field_interpolation_tpu.parallel import solve_refined_sharded
+    from field_interpolation_tpu.sdf import assemble_precise
+
+    grid = Grid((32, 32))
+    weights = Weights(model_2=0.3)
+    n = 120
+    pos = rng.uniform(0, 30.999, size=(n, 2))
+    vals = rng.standard_normal(n)
+    pp = assemble_precise(grid, weights, jnp.asarray(pos, jnp.float32),
+                          jnp.asarray(vals, jnp.float32))
+    mesh = _mesh((2, 2), ("x", "y"))
+    cfg = SolverConfig(tol=1e-6, preconditioner="multigrid", maxiter=20000)
+    x, info = solve_refined_sharded(pp, mesh, cfg)
+    xw, infow = solve_refined_sharded(pp, mesh, cfg,
+                                      x0=x.astype(jnp.float32))
+    assert bool(infow.converged)
+    assert int(infow.iterations) < int(info.iterations)
