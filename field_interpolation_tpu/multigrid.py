@@ -768,7 +768,8 @@ def make_vcycle_preconditioner(problem: Problem, config: SolverConfig,
             if config.mg_cycle == "w":
                 return lambda r: fused_wcycle_2d(
                     r, coeffs, sids, Rs, inv32, lw, config.mg_pre_smooth,
-                    interpret=pallas_interpret, cheb_coefs=cfs)
+                    interpret=pallas_interpret, cheb_coefs=cfs,
+                    wdepth=config.mg_wcycle_depth)
             return lambda r: fused_vcycle_2d(
                 r, coeffs, sids, Rs, inv32, lw, config.mg_pre_smooth,
                 config.mg_post_smooth, interpret=pallas_interpret,
@@ -814,7 +815,8 @@ def make_vcycle_preconditioner(problem: Problem, config: SolverConfig,
         restrict = make_restrict(shape, coarse_shape, r.dtype)
         rc = restrict(r - apply_fn(z))
         zc = vcycle(rc, level_idx + 1)
-        if wcycle and level_idx + 1 < len(levels):
+        if (wcycle and level_idx + 1 < len(levels)
+                and level_idx < config.mg_wcycle_depth):
             # Second recursive visit on the residual the first leaves
             # (skipped when the child is the exactly-solved coarsest —
             # a second exact solve of a zero residual is a no-op). The

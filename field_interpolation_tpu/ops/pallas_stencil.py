@@ -1186,7 +1186,7 @@ def fused_vcycle_2d(r, coeffs, sids, Rs, inv_c, level_weights,
 
 
 def fused_wcycle_2d(r, coeffs, sids, Rs, inv_c, level_weights, nu,
-                    interpret=False, cheb_coefs=None):
+                    interpret=False, cheb_coefs=None, wdepth=99):
     """One symmetric W-cycle as ONE Pallas kernel (same operands as
     fused_vcycle_2d; the coarsest dense solve runs in-kernel via the
     reduction-loop matvec). A W-cycle interleaves coarse-level visits with
@@ -1222,7 +1222,7 @@ def fused_wcycle_2d(r, coeffs, sids, Rs, inv_c, level_weights, nu,
         z_refs = z_out + z_scr
         _vcycle_refs(r_ref, z_refs, r_scr, az_refs, c_refs, sid_refs,
                      R_refs, inv_ref, level_weights, nu, cf_refs, zp_refs,
-                     wcycle=True)
+                     wdepth=wdepth)
 
     cf_ins = tuple(cheb_coefs[:L - 1]) if cheb else ()
     vins = (r, *coeffs, *sids, *Rs, inv4)
@@ -1434,16 +1434,17 @@ def _coarse_solve_inkernel(inv4, rc):
 
 def _vcycle_refs(r0_ref, z_refs, r_scr, az_refs, c_refs, sid_refs, R_refs,
                  inv_ref, level_weights, nu, cf_refs=None, zp_refs=None,
-                 wcycle=False):
+                 wdepth=0):
     """Symmetric V- or W-cycle on kernel refs: reads the residual from
     ``r0_ref``, leaves the correction in ``z_refs[0]``. Used by
     fused_pcg_solve / fused_wcycle_2d.
     ``cf_refs``/``zp_refs``: per-level Chebyshev SMEM schedules + z_prev
-    scratches, or None = damped Jacobi. ``wcycle``: two recursive visits
-    per coarse level (second on the residual the first leaves — see
-    SolverConfig.mg_cycle). The W needs NO extra buffers: the first child
-    result is prolonged-added BEFORE its residual update reuses the same
-    r/z level buffers for the second visit."""
+    scratches, or None = damped Jacobi. ``wdepth``: transitions with two
+    recursive child visits (second on the residual the first leaves — see
+    SolverConfig.mg_cycle / mg_wcycle_depth; 0 = plain V, 99 = textbook W).
+    The W needs NO extra buffers: the first child result is prolonged-added
+    BEFORE its residual update reuses the same r/z level buffers for the
+    second visit."""
     L = len(c_refs)
     r_all = (r0_ref,) + tuple(r_scr)
 
@@ -1463,7 +1464,7 @@ def _vcycle_refs(r0_ref, z_refs, r_scr, az_refs, c_refs, sid_refs, R_refs,
         r_all[l + 1][...] = _mm(_mm(R0, res), R1.T)
         rec(l + 1)
         z_refs[l][...] += _mm(_mm(R0.T, z_refs[l + 1][...]), R1)
-        if wcycle and l + 1 < L - 1:
+        if l < wdepth and l + 1 < L - 1:
             dd1 = len(c_refs[l + 1].shape) == 2
             _kernel_body(z_refs[l + 1], c_refs[l + 1], az_refs[l + 1],
                          level_weights[l + 1], 2, dd1)
@@ -1478,8 +1479,18 @@ def _vcycle_refs(r0_ref, z_refs, r_scr, az_refs, c_refs, sid_refs, R_refs,
 
 def fused_pcg_solve(x, r, tol2, iter_budget, coeffs, sids, Rs, inv_c,
                     level_weights, nu, interpret=False, cheb_coefs=None,
-                    wcycle=False):
+                    wdepth=0, ablate=None):
     """One safeguard SEGMENT of MG-PCG entirely inside ONE Pallas kernel.
+
+    ``ablate`` (PROFILING ONLY — jax.profiler hangs through the axon
+    tunnel, so in-kernel attribution is done by timing chained ablated
+    variants; VERDICT r3 missing #4): None = real solver;
+    "no_vcycle" replaces the per-iteration V-cycle with z = r;
+    "no_apply" replaces the operator apply with Ap = p;
+    "no_both" does both (leaving dots + axpy + loop control). Ablated
+    kernels ignore tol2 (the garbage recurrence values would otherwise
+    change the trip count) and run exactly ``iter_budget`` iterations —
+    NEVER use ablated results as solutions.
 
     z = V(r); p = z; then a lax.while_loop of full CG iterations (operator
     apply, α, x/r updates, V-cycle, β) until the recurrence ‖r‖² ≤ tol2 or
@@ -1526,7 +1537,7 @@ def fused_pcg_solve(x, r, tol2, iter_budget, coeffs, sids, Rs, inv_c,
         rw_ref[...] = r_ref[...]
         _vcycle_refs(rw_ref, z_refs, r_scr, az_refs, c_refs, sid_refs,
                      R_refs, inv_ref, level_weights, nu, cf_refs, zp_refs,
-                     wcycle)
+                     wdepth)
         p_ref[...] = z_refs[0][...]
         rz0 = jnp.sum(rw_ref[...] * z_refs[0][...])
         rr0 = jnp.sum(rw_ref[...] * rw_ref[...])
@@ -1535,21 +1546,30 @@ def fused_pcg_solve(x, r, tol2, iter_budget, coeffs, sids, Rs, inv_c,
 
         def cond(carry):
             k, rz, rr = carry
+            if ablate is not None:
+                return k < budget  # fixed trip count (see docstring)
             return (rr > tol2) & (k < budget)
 
         def body(carry):
             k, rz, rr = carry
-            _kernel_body(p_ref, c_refs[0], az_refs[0], level_weights[0], 2)
-            Ap = az_refs[0][...]
+            if ablate in ("no_apply", "no_both"):
+                Ap = p_ref[...]
+            else:
+                _kernel_body(p_ref, c_refs[0], az_refs[0], level_weights[0],
+                             2)
+                Ap = az_refs[0][...]
             pAp = jnp.sum(p_ref[...] * Ap)
             alpha = jnp.where(pAp > 0, rz / pAp, 0.0)
             xo_ref[...] += alpha * p_ref[...]
             rw_ref[...] -= alpha * Ap
             rr_new = jnp.sum(rw_ref[...] * rw_ref[...])
-            _vcycle_refs(rw_ref, z_refs, r_scr, az_refs, c_refs, sid_refs,
-                         R_refs, inv_ref, level_weights, nu, cf_refs,
-                         zp_refs, wcycle)
-            z0 = z_refs[0][...]
+            if ablate in ("no_vcycle", "no_both"):
+                z0 = rw_ref[...]
+            else:
+                _vcycle_refs(rw_ref, z_refs, r_scr, az_refs, c_refs,
+                             sid_refs, R_refs, inv_ref, level_weights, nu,
+                             cf_refs, zp_refs, wdepth)
+                z0 = z_refs[0][...]
             rz_new = jnp.sum(rw_ref[...] * z0)
             beta = jnp.where(rz > 0, rz_new / rz, 0.0)
             p_ref[...] = z0 + beta * p_ref[...]

@@ -98,11 +98,18 @@ class SolverConfig:
     # iterations (1e-4/1e-6) with the V-cycle vs 8/13 with the W-cycle on
     # the SAME levels, while cubic (order-4) transfers made things WORSE
     # (20/33; 16/27 even with exact Galerkin coarse operators). The
-    # W-cycle's extra coarse-level visits cost ~1.4x the smoothing FLOPs
-    # but its 2x iteration cut dominates. Composed with symmetric
-    # smoothing and R = Pᵀ the W-cycle stays SPD (the two-visit child
-    # solve is B' = 2B − BAB, symmetric for symmetric B), so CG is safe.
+    # W-cycle's extra coarse-level visits cost ~1.4x the smoothing FLOPs.
+    # Composed with symmetric smoothing and R = Pᵀ the W-cycle stays SPD
+    # (the two-visit child solve is B' = 2B − BAB, symmetric for symmetric
+    # B), so CG is safe. ON-CHIP CAVEAT (v5e, measured): small-level sweeps
+    # are LATENCY-bound (~flat cost per visit regardless of size), so the
+    # FULL W-cycle's exponential visit growth (2^l visits of level l) costs
+    # ~2.4x per cycle — MORE than its 2x iteration cut. mg_wcycle_depth
+    # bounds the doubling to the top transitions (level < depth gets two
+    # child visits; deeper recursion is a plain V), keeping the visit count
+    # ~linear. depth=99 = textbook W.
     mg_cycle: str = "v"              # "v" | "w"
+    mg_wcycle_depth: int = 99        # transitions that double (mg_cycle="w")
     # Coarsest-level solver: "dense" factors the coarsest operator once at
     # setup (exact inverse, one small MXU matmul per V-cycle — dozens of
     # dispatch-bound Jacobi sweeps replaced by one op); "jacobi" iterates.
