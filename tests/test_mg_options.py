@@ -384,3 +384,53 @@ class TestFusedSmootherKernels:
                               from_zero)
         np.testing.assert_allclose(np.asarray(got), np.asarray(want),
                                    rtol=2e-5, atol=2e-5)
+
+
+class TestWCycleDepth:
+    """mg_wcycle_depth (the on-chip-measured fix: full-W visit growth is
+    latency-bound and costs more than its iteration cut; depth=2 keeps the
+    whole cut at ~linear visits — see SolverConfig.mg_cycle notes)."""
+
+    @pytest.mark.parametrize("depth", [1, 2])
+    def test_fused_depth_matches_xla(self, depth):
+        prob = _problem_2d(shape=(48, 40), n=400, seed=17)
+        cfg = SolverConfig(preconditioner="multigrid", mg_cycle="w",
+                           mg_wcycle_depth=depth)
+        r = jnp.asarray(
+            np.random.default_rng(18).standard_normal(prob.grid.shape),
+            jnp.float32)
+        z_x = multigrid.make_vcycle_preconditioner(prob, cfg)(r)
+        z_p = multigrid.make_vcycle_preconditioner(
+            prob, cfg, pallas_smooth=True, pallas_interpret=True)(r)
+        scale = float(jnp.max(jnp.abs(z_x)))
+        np.testing.assert_allclose(np.asarray(z_p), np.asarray(z_x),
+                                   rtol=0, atol=3e-5 * max(scale, 1e-30))
+
+    def test_depth_zero_is_vcycle(self):
+        """depth=0 degenerates to the plain V even with mg_cycle='w'."""
+        prob = _problem_2d(shape=(48, 40), n=400, seed=19)
+        r = jnp.asarray(
+            np.random.default_rng(20).standard_normal(prob.grid.shape),
+            jnp.float32)
+        zs = []
+        for cfg in (SolverConfig(preconditioner="multigrid", mg_cycle="v"),
+                    SolverConfig(preconditioner="multigrid", mg_cycle="w",
+                                 mg_wcycle_depth=0)):
+            zs.append(multigrid.make_vcycle_preconditioner(prob, cfg)(r))
+        np.testing.assert_allclose(np.asarray(zs[1]), np.asarray(zs[0]),
+                                   rtol=0, atol=0)
+
+    def test_depth2_keeps_iteration_cut(self):
+        """The headline-family iteration cut survives depth=2 (measured:
+        V 14, W-full 8, W-depth2 8 at 256^2/1e-4 — this pins the smaller
+        48x40 problem's depth-2 count at <= its full-W count + 1)."""
+        prob = _problem_2d(shape=(96, 80), n=900, seed=11)
+        iters = {}
+        for depth in (2, 99):
+            cfg = SolverConfig(tol=1e-6, preconditioner="multigrid",
+                               backend="xla", mg_cycle="w",
+                               mg_wcycle_depth=depth)
+            x, info = solver.solve(prob, cfg)
+            assert bool(info.converged)
+            iters[depth] = int(info.iterations)
+        assert iters[2] <= iters[99] + 1, iters
