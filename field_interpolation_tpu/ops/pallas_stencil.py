@@ -1479,8 +1479,19 @@ def _vcycle_refs(r0_ref, z_refs, r_scr, az_refs, c_refs, sid_refs, R_refs,
 
 def fused_pcg_solve(x, r, tol2, iter_budget, coeffs, sids, Rs, inv_c,
                     level_weights, nu, interpret=False, cheb_coefs=None,
-                    wdepth=0, ablate=None):
+                    wdepth=0, ablate=None, chunk=1):
     """One safeguard SEGMENT of MG-PCG entirely inside ONE Pallas kernel.
+
+    ``chunk``: CG iterations per while-loop TRIP, straight-line unrolled.
+    A dynamic loop trip costs a measured ~17-21 µs on this backend EVEN
+    WITH AN EMPTY BODY (round-4 microbenches: a bare ``c+1`` while_loop is
+    21.4 µs/trip — about one kernel-launch floor per trip), so chunking
+    amortizes the trip floor over ``chunk`` real iterations. Convergence
+    semantics are unchanged: the recurrence test runs once per trip, the
+    extra ≤chunk−1 iterations past the tolerance are harmless (α's
+    pAp-guard keeps post-convergence steps stable and the caller verifies
+    against a TRUE residual anyway); the returned count includes the
+    over-run iterations — they were really executed.
 
     ``ablate`` (PROFILING ONLY — jax.profiler hangs through the axon
     tunnel, so in-kernel attribution is done by timing chained ablated
@@ -1550,8 +1561,7 @@ def fused_pcg_solve(x, r, tol2, iter_budget, coeffs, sids, Rs, inv_c,
                 return k < budget  # fixed trip count (see docstring)
             return (rr > tol2) & (k < budget)
 
-        def body(carry):
-            k, rz, rr = carry
+        def one_iter(k, rz, rr):
             if ablate in ("no_apply", "no_both"):
                 Ap = p_ref[...]
             else:
@@ -1574,6 +1584,12 @@ def fused_pcg_solve(x, r, tol2, iter_budget, coeffs, sids, Rs, inv_c,
             beta = jnp.where(rz > 0, rz_new / rz, 0.0)
             p_ref[...] = z0 + beta * p_ref[...]
             return k + 1, rz_new, rr_new
+
+        def body(carry):
+            k, rz, rr = carry
+            for _ in range(chunk):  # straight-line: one trip floor per chunk
+                k, rz, rr = one_iter(k, rz, rr)
+            return k, rz, rr
 
         k, _, rr = jax.lax.while_loop(cond, body,
                                       (jnp.int32(0), rz0, rr0))

@@ -146,7 +146,7 @@ def _wdepth(config) -> int:
 
 def _pcg_fused(ops, b: jax.Array, x0: Optional[jax.Array], *, tol, maxiter,
                max_restarts, nu, interpret,
-               wdepth=0) -> tuple[jax.Array, SolveInfo]:
+               wdepth=0, chunk=1) -> tuple[jax.Array, SolveInfo]:
     """Fully-fused 2D multigrid-PCG: each safeguard SEGMENT (V-cycle, then a
     while-loop of complete CG iterations) runs inside ONE Pallas kernel
     (ops.pallas_stencil.fused_pcg_solve) with all state VMEM-resident; the
@@ -176,7 +176,8 @@ def _pcg_fused(ops, b: jax.Array, x0: Optional[jax.Array], *, tol, maxiter,
         budget = jnp.reshape((jnp.int32(maxiter) - k), (1, 1))
         x, iters, _ = fused_pcg_solve(x, r, tol2_s, budget, coeffs, sids,
                                       Rs, inv32, lw, nu, interpret,
-                                      cheb_coefs=cfs, wdepth=wdepth)
+                                      cheb_coefs=cfs, wdepth=wdepth,
+                                      chunk=chunk)
         k_new = k + iters[0, 0]
         r = b - apply_f(x)  # verify the recurrence exit (see pcg)
         return x, r, k_new, segments + 1, iters[0, 0] > 0
@@ -278,7 +279,7 @@ def solve(
                           maxiter=config.maxiter,
                           max_restarts=config.max_restarts,
                           nu=config.mg_pre_smooth, interpret=fused_interpret,
-                          wdepth=_wdepth(config))
+                          wdepth=_wdepth(config), chunk=config.pcg_chunk)
     apply_fn = _make_apply(problem, config)
     return pcg(
         apply_fn,
@@ -351,7 +352,8 @@ def _solve_refined_impl(p64, config: SolverConfig,
                               tol=inner_tol, maxiter=config.maxiter,
                               max_restarts=1, nu=config.mg_pre_smooth,
                               interpret=fused_interpret,
-                              wdepth=_wdepth(config))
+                              wdepth=_wdepth(config),
+                              chunk=config.pcg_chunk)
         return pcg(apply32, r.astype(jnp.float32),
                    precond_fn=precond, tol=inner_tol,
                    maxiter=config.maxiter,

@@ -110,6 +110,14 @@ class SolverConfig:
     # ~linear. depth=99 = textbook W.
     mg_cycle: str = "v"              # "v" | "w"
     mg_wcycle_depth: int = 99        # transitions that double (mg_cycle="w")
+    # CG iterations per in-kernel while-loop TRIP in the fused solver
+    # (backend "auto"/"pallas" only). A dynamic loop trip costs ~17-21 µs
+    # on v5e EVEN EMPTY (measured round 4 — about one kernel-launch floor
+    # per trip); chunking runs this many iterations straight-line per trip
+    # and tests convergence once per chunk. Up to chunk−1 harmless extra
+    # iterations run past the tolerance (the safeguard re-verifies against
+    # a true residual regardless). 1 = no chunking.
+    pcg_chunk: int = 1
     # Coarsest-level solver: "dense" factors the coarsest operator once at
     # setup (exact inverse, one small MXU matmul per V-cycle — dozens of
     # dispatch-bound Jacobi sweeps replaced by one op); "jacobi" iterates.

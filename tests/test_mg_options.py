@@ -434,3 +434,42 @@ class TestWCycleDepth:
             assert bool(info.converged)
             iters[depth] = int(info.iterations)
         assert iters[2] <= iters[99] + 1, iters
+
+
+class TestPcgChunk:
+    """pcg_chunk (round 4): the in-kernel while-loop TRIP floor is ~17-21 us
+    on v5e even with an empty body, so the fused solver runs `chunk` CG
+    iterations straight-line per trip. Semantics: same solution (the extra
+    <=chunk-1 post-tolerance iterations only polish), true-residual
+    convergence kept, count reflects executed iterations."""
+
+    def test_chunked_solve_matches_unchunked(self):
+        prob = _problem_2d()
+        sols, its = {}, {}
+        for ch in (1, 3):
+            cfg = SolverConfig(tol=1e-5, preconditioner="multigrid",
+                               backend="pallas", pcg_chunk=ch)
+            x, info = solver.solve(prob, cfg)
+            assert bool(info.converged)
+            sols[ch], its[ch] = np.asarray(x), int(info.iterations)
+        np.testing.assert_allclose(sols[3], sols[1], atol=5e-3)
+        # chunked runs the same iterations rounded up to a trip boundary
+        # (plus possibly one fewer safeguard segment)
+        assert its[3] <= its[1] + 3, its
+
+    def test_chunked_refined_true_1e6(self):
+        from field_interpolation_tpu.sdf import assemble_precise
+        from field_interpolation_tpu.solver import solve_refined
+        rng = np.random.default_rng(23)
+        g = Grid((64, 64))
+        pos = jnp.asarray(rng.uniform(0, 62.99, size=(300, 2)), jnp.float32)
+        vals = jnp.asarray(rng.standard_normal(300), jnp.float32)
+        pp = assemble_precise(g, Weights(model_2=0.3), pos, vals)
+        cfg = SolverConfig(tol=1e-6, preconditioner="multigrid",
+                           backend="pallas", pcg_chunk=4)
+        x, info = solve_refined(pp, cfg)
+        assert bool(info.converged)
+        with jax.enable_x64():
+            r = pp.residual64(x)
+            rel = float(jnp.sqrt(jnp.sum(r * r) / jnp.sum(pp.b64 * pp.b64)))
+        assert rel <= 1.1e-6, rel
