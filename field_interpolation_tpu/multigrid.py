@@ -548,6 +548,27 @@ def build_fused_solver_operands(problem: Problem, config: SolverConfig):
                                   inv_diags, coarse_dense, config, rhos)
 
 
+def resolve_wdepth(config: SolverConfig, fine_shape: tuple[int, ...]) -> int:
+    """Doubled-transition count for the W-cycle (0 = plain V), resolving
+    mg_cycle="auto" by the measured regime split (round-4 on-chip A/Bs):
+
+    * whole-VMEM grids (the fused in-kernel V-cycle path): coarse-level
+      visits are LATENCY-bound (~1.85 µs each in-kernel), and every W
+      variant measured slower than V at 256² despite a 1.8x iteration cut
+      → "v".
+    * beyond-VMEM grids (XLA-level cycles, striped kernels): coarse levels
+      are bandwidth-bound and cost ~4⁻ˡ of the fine level, so the W's
+      extra visits are nearly free while its iteration cut is whole —
+      measured 4096²: 359→234 ms @1e-4, 982→666 ms @TRUE 1e-6; 256³:
+      343→262 ms → "w" (full depth).
+    """
+    cycle = config.mg_cycle
+    if cycle == "auto":
+        from .ops.pallas_stencil import fits_vmem
+        cycle = "v" if fits_vmem(fine_shape) else "w"
+    return config.mg_wcycle_depth if cycle == "w" else 0
+
+
 def make_vcycle_preconditioner(problem: Problem, config: SolverConfig,
                                apply_fn=None, pallas_smooth=False,
                                pallas_interpret=False):
@@ -765,11 +786,12 @@ def make_vcycle_preconditioner(problem: Problem, config: SolverConfig,
         if ops is not None:
             from .ops.pallas_stencil import fused_vcycle_2d, fused_wcycle_2d
             coeffs, sids, Rs, inv32, lw, cfs = ops
-            if config.mg_cycle == "w":
+            fused_wdepth = resolve_wdepth(config, problem.grid.shape)
+            if fused_wdepth > 0:
                 return lambda r: fused_wcycle_2d(
                     r, coeffs, sids, Rs, inv32, lw, config.mg_pre_smooth,
                     interpret=pallas_interpret, cheb_coefs=cfs,
-                    wdepth=config.mg_wcycle_depth)
+                    wdepth=fused_wdepth)
             return lambda r: fused_vcycle_2d(
                 r, coeffs, sids, Rs, inv32, lw, config.mg_pre_smooth,
                 config.mg_post_smooth, interpret=pallas_interpret,
@@ -790,7 +812,8 @@ def make_vcycle_preconditioner(problem: Problem, config: SolverConfig,
             z = jnp.zeros_like(r)
         return smooth(apply_fn, inv_diag, level_idx, r, z, iters)
 
-    wcycle = config.mg_cycle == "w"
+    wdepth_r = resolve_wdepth(config, problem.grid.shape)
+    wcycle = wdepth_r > 0
 
     def vcycle(r, level_idx):
         if level_idx == 0:
@@ -816,7 +839,7 @@ def make_vcycle_preconditioner(problem: Problem, config: SolverConfig,
         rc = restrict(r - apply_fn(z))
         zc = vcycle(rc, level_idx + 1)
         if (wcycle and level_idx + 1 < len(levels)
-                and level_idx < config.mg_wcycle_depth):
+                and level_idx < wdepth_r):
             # Second recursive visit on the residual the first leaves
             # (skipped when the child is the exactly-solved coarsest —
             # a second exact solve of a zero residual is a no-op). The

@@ -719,8 +719,8 @@ def _make_mg_precond(plan: _MGPlan, ops, apply_fn, diag_l, mesh: Mesh,
         z = smooth(li, r, r, nu, True)
         rc = restrict(r - lev_apply(z, li), li)
         zc = vcycle(rc, li + 1)
-        if (config.mg_cycle == "w" and li + 1 < K
-                and li < config.mg_wcycle_depth):
+        from ..multigrid import resolve_wdepth
+        if li + 1 < K and li < resolve_wdepth(config, plan.shapes[0]):
             # W-cycle second visit (see SolverConfig.mg_cycle): the child's
             # leftover residual gets one more recursive cycle. Skipped when
             # the child is the exactly-solved coarsest.

@@ -139,9 +139,11 @@ def pcg(
     return x, SolveInfo(iterations=k, rel_residual=rel, converged=converged)
 
 
-def _wdepth(config) -> int:
-    """Doubled-transition count for the in-kernel W-cycle (0 = plain V)."""
-    return config.mg_wcycle_depth if config.mg_cycle == "w" else 0
+def _wdepth(config, fine_shape) -> int:
+    """Doubled-transition count for the W-cycle (0 = plain V); resolves
+    mg_cycle="auto" by VMEM regime — see multigrid.resolve_wdepth."""
+    from .multigrid import resolve_wdepth
+    return resolve_wdepth(config, fine_shape)
 
 
 def _pcg_fused(ops, b: jax.Array, x0: Optional[jax.Array], *, tol, maxiter,
@@ -279,7 +281,8 @@ def solve(
                           maxiter=config.maxiter,
                           max_restarts=config.max_restarts,
                           nu=config.mg_pre_smooth, interpret=fused_interpret,
-                          wdepth=_wdepth(config), chunk=config.pcg_chunk)
+                          wdepth=_wdepth(config, problem.grid.shape),
+                          chunk=config.pcg_chunk)
     apply_fn = _make_apply(problem, config)
     return pcg(
         apply_fn,
@@ -352,7 +355,7 @@ def _solve_refined_impl(p64, config: SolverConfig,
                               tol=inner_tol, maxiter=config.maxiter,
                               max_restarts=1, nu=config.mg_pre_smooth,
                               interpret=fused_interpret,
-                              wdepth=_wdepth(config),
+                              wdepth=_wdepth(config, p32.grid.shape),
                               chunk=config.pcg_chunk)
         return pcg(apply32, r.astype(jnp.float32),
                    precond_fn=precond, tol=inner_tol,

@@ -108,7 +108,13 @@ class SolverConfig:
     # bounds the doubling to the top transitions (level < depth gets two
     # child visits; deeper recursion is a plain V), keeping the visit count
     # ~linear. depth=99 = textbook W.
-    mg_cycle: str = "v"              # "v" | "w"
+    # "auto" (default) resolves by the measured regime split
+    # (multigrid.resolve_wdepth): whole-VMEM grids → "v" (in-kernel coarse
+    # visits are latency-bound; every W variant measured slower at 256²),
+    # beyond-VMEM grids → "w" (coarse levels are bandwidth-bound; measured
+    # 4096²: 359→234 ms @1e-4 and 982→666 ms @TRUE 1e-6, 256³: 343→262 ms,
+    # same-session on-chip A/Bs, round 4).
+    mg_cycle: str = "auto"           # "auto" | "v" | "w"
     mg_wcycle_depth: int = 99        # transitions that double (mg_cycle="w")
     # CG iterations per in-kernel while-loop TRIP in the fused solver
     # (backend "auto"/"pallas" only). A dynamic loop trip costs ~17-21 µs

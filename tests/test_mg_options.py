@@ -473,3 +473,36 @@ class TestPcgChunk:
             r = pp.residual64(x)
             rel = float(jnp.sqrt(jnp.sum(r * r) / jnp.sum(pp.b64 * pp.b64)))
         assert rel <= 1.1e-6, rel
+
+
+class TestAutoCycle:
+    """mg_cycle="auto" resolves V for whole-VMEM grids (in-kernel coarse
+    visits are latency-bound) and W for beyond-VMEM grids (bandwidth-bound
+    coarse levels; measured 4096² 359→234 ms) — see multigrid.resolve_wdepth."""
+
+    def test_resolution_by_regime(self):
+        from field_interpolation_tpu.ops.pallas_stencil import fits_vmem
+        cfg = SolverConfig()  # default mg_cycle="auto"
+        assert fits_vmem((256, 256))
+        assert multigrid.resolve_wdepth(cfg, (256, 256)) == 0
+        assert not fits_vmem((4096, 4096))
+        assert multigrid.resolve_wdepth(cfg, (4096, 4096)) == cfg.mg_wcycle_depth
+        assert not fits_vmem((256, 256, 256))
+        assert multigrid.resolve_wdepth(cfg, (256, 256, 256)) > 0
+        # explicit settings override the regime
+        assert multigrid.resolve_wdepth(
+            SolverConfig(mg_cycle="v"), (4096, 4096)) == 0
+        assert multigrid.resolve_wdepth(
+            SolverConfig(mg_cycle="w", mg_wcycle_depth=2), (64, 64)) == 2
+
+    def test_auto_equals_v_on_small_grid(self):
+        prob = _problem_2d()
+        r = jnp.asarray(
+            np.random.default_rng(29).standard_normal(prob.grid.shape),
+            jnp.float32)
+        za = multigrid.make_vcycle_preconditioner(
+            prob, SolverConfig(preconditioner="multigrid"))(r)
+        zv = multigrid.make_vcycle_preconditioner(
+            prob, SolverConfig(preconditioner="multigrid", mg_cycle="v"))(r)
+        np.testing.assert_allclose(np.asarray(za), np.asarray(zv),
+                                   rtol=0, atol=0)
