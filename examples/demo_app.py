@@ -183,6 +183,20 @@ class App:
               f"iters={int(info.iterations)} rel={float(info.rel_residual):.1e} "
               f"conv={bool(info.converged)}"
               + (f" RMSE={rmse:.3f}" if rmse is not None else ""))
+        if self.args.records:
+            # A5 observability through the GUI harness too (not just bench):
+            # one structured JSON line per frame, V-cycle traffic factor.
+            import sys as _sys
+            from field_interpolation_tpu.utils import (
+                record_solve, vcycle_applies_per_iteration)
+            record_solve(
+                self.grid, info, ms, preconditioner=cfg.preconditioner,
+                solver="refined-pcg" if a.precise else "pcg",
+                stream=_sys.stderr,
+                applies_per_iteration=vcycle_applies_per_iteration(
+                    cfg.mg_pre_smooth, cfg.mg_post_smooth),
+                frame=self.frame, warm=warm,
+                rmse=rmse if rmse is not None else -1.0)
         if render and not self.args.no_render:
             render_ansi(field, segs)
         if self.args.ppm:
@@ -276,6 +290,9 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cpu", action="store_true", help="force the CPU backend")
     ap.add_argument("--no-render", action="store_true")
+    ap.add_argument("--records", action="store_true",
+                    help="emit one structured SolveRecord JSON line per "
+                         "frame to stderr (utils.observe)")
     ap.add_argument("--ppm", default="", help="also write a PPM image here")
     args = ap.parse_args()
 

@@ -6,8 +6,13 @@ rebuild emits structured per-solve records — iterations, relative residual,
 wall time, achieved GB/s vs the HBM roofline — as Python objects and optional
 JSON lines, suitable for the benchmark harness and production logging.
 
-For deep profiling use `jax.profiler.trace` around a solve; this module covers
-the always-on lightweight layer.
+For deep profiling: `jax.profiler.trace` HANGS through the axon remote-TPU
+tunnel (measured, round 3) — the working in-kernel attribution route is
+timing chained ABLATED kernel variants (`ops.pallas_stencil.fused_pcg_solve
+(ablate=...)`; see NOTES_ROUND4.md for the measured 256² decomposition), and
+the methodology rule that every chained measurement carries the flat ~33 ms
+dispatch round trip ONCE — difference it out or it reads as a phantom
+per-iteration cost. This module covers the always-on lightweight layer.
 """
 
 from __future__ import annotations
