@@ -553,3 +553,33 @@ def test_sharded_refined_precise_warm_start(rng):
                                       x0=x.astype(jnp.float32))
     assert bool(infow.converged)
     assert int(infow.iterations) < int(info.iterations)
+
+
+def test_sharded_refined_precise_3d_mesh(rng):
+    """Matter-free sharded refinement on a 2x2x2 mesh (3D owner sharding,
+    corner spill crosses THREE axes transitively in _ext_hi/_scatter_fold_hi)."""
+    from field_interpolation_tpu.parallel import solve_refined_sharded
+    from field_interpolation_tpu.sdf import assemble_precise
+    from field_interpolation_tpu.solver import solve_refined
+
+    grid = Grid((16, 16, 32))
+    weights = Weights(model_2=0.4)
+    n = 150
+    pos = rng.uniform(0, np.asarray(grid.shape) - 1.001, size=(n, 3))
+    vals = rng.standard_normal(n)
+    pp = assemble_precise(grid, weights, jnp.asarray(pos, jnp.float32),
+                          jnp.asarray(vals, jnp.float32))
+    mesh = _mesh((2, 2, 2), ("x", "y", "z"))
+    cfg = SolverConfig(tol=1e-6, preconditioner="multigrid", maxiter=20000)
+    x_sh, info_sh = solve_refined_sharded(pp, mesh, cfg)
+    assert bool(info_sh.converged), float(info_sh.rel_residual)
+    x_1, info_1 = solve_refined(pp, cfg)
+    scale = float(np.max(np.abs(np.asarray(x_1))))
+    np.testing.assert_allclose(np.asarray(x_sh, np.float64),
+                               np.asarray(x_1, np.float64),
+                               atol=2e-4 * max(scale, 1e-30))
+    # TRUE residual vs the matter-free f64 system
+    with jax.enable_x64():
+        r = pp.residual64(jnp.asarray(np.asarray(x_sh)))
+        rel = float(jnp.sqrt(jnp.sum(r * r) / jnp.sum(pp.b64 * pp.b64)))
+    assert rel <= 1.1e-6, rel
