@@ -185,3 +185,72 @@ def test_marching_tetrahedra_device_matches_host():
             return t[np.lexsort(flat.T[::-1])]
 
         np.testing.assert_allclose(canon(got), canon(want), atol=3e-4)
+
+
+def test_marching_tetrahedra_device_compact_matches_full():
+    """The tiled/compacted extractor emits exactly the full-slot
+    extractor's live triangles, in the same stream order (row-major cells,
+    _TETS slot order), across tile boundaries and non-divisible axis-0
+    extents — so it also matches the host extractor transitively."""
+    import jax
+    import jax.numpy as jnp
+
+    from field_interpolation_tpu.contour import (
+        marching_tetrahedra_device, marching_tetrahedra_device_compact)
+
+    rng = np.random.default_rng(7)
+    for tile_planes in (1, 2, 3):
+        NI, NJ, NK = rng.integers(4, 11, 3)
+        ii, jj, kk = np.mgrid[0:NI, 0:NJ, 0:NK]
+        f = (np.sqrt((ii - NI / 2) ** 2 + (jj - NJ / 2) ** 2
+                     + (kk - NK / 2) ** 2)
+             - min(NI, NJ, NK) * 0.35
+             + 0.4 * rng.standard_normal((NI, NJ, NK))).astype(np.float32)
+        tris_full, valid = marching_tetrahedra_device(jnp.asarray(f))
+        want = np.asarray(tris_full)[np.asarray(valid)]
+
+        fn = jax.jit(marching_tetrahedra_device_compact,
+                     static_argnames=("max_triangles", "tile_planes"))
+        tris, count, overflowed = fn(jnp.asarray(f),
+                                     max_triangles=want.shape[0] + 17,
+                                     tile_planes=tile_planes)
+        assert not bool(overflowed)
+        assert int(count) == want.shape[0]
+        got = np.asarray(tris)
+        np.testing.assert_allclose(got[:int(count)], want, atol=2e-6)
+        assert np.all(got[int(count):] == 0.0)
+
+
+def test_marching_tetrahedra_device_compact_overflow():
+    """Capacity overflows are reported, never silent: both the global
+    max_triangles cap and the per-tile compaction cap set ``overflowed``,
+    and the rows actually returned are still a correct prefix of the
+    triangle stream."""
+    import jax.numpy as jnp
+
+    from field_interpolation_tpu.contour import (
+        marching_tetrahedra_device, marching_tetrahedra_device_compact)
+
+    rng = np.random.default_rng(1)
+    f = rng.standard_normal((6, 6, 6)).astype(np.float32)  # noisy: many tris
+    tris_full, valid = marching_tetrahedra_device(jnp.asarray(f))
+    want = np.asarray(tris_full)[np.asarray(valid)]
+    assert want.shape[0] > 40
+
+    # global cap
+    tris, count, overflowed = marching_tetrahedra_device_compact(
+        jnp.asarray(f), max_triangles=20, tile_planes=2)
+    assert bool(overflowed) and int(count) == 20
+    np.testing.assert_allclose(np.asarray(tris)[:20], want[:20], atol=2e-6)
+
+    # per-tile cap (tile_capacity below one noisy tile's cut count)
+    tris2, count2, overflowed2 = marching_tetrahedra_device_compact(
+        jnp.asarray(f), max_triangles=want.shape[0] + 5, tile_planes=2,
+        tile_capacity=8)
+    assert bool(overflowed2)
+    assert int(count2) < want.shape[0]
+    got2 = np.asarray(tris2)[:int(count2)]
+    # each tile contributes a correct PREFIX of its own stream: every
+    # returned row must appear in the full stream
+    flat_want = {tuple(np.round(r.ravel(), 5)) for r in want}
+    assert all(tuple(np.round(r.ravel(), 5)) in flat_want for r in got2)
