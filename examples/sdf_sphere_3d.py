@@ -5,7 +5,8 @@ import numpy as np
 import jax.numpy as jnp
 
 import field_interpolation_tpu as fi
-from field_interpolation_tpu.contour import marching_tetrahedra
+from field_interpolation_tpu.contour import (
+    marching_tetrahedra, marching_tetrahedra_device_compact)
 
 
 def main():
@@ -39,6 +40,14 @@ def main():
     r = np.sqrt(((verts - center) ** 2).sum(1))
     print(f"extracted {len(tris)} triangles; surface radius "
           f"{r.mean():.2f}±{r.std():.2f} (target {radius})")
+
+    # Same extraction fully on device with a BOUNDED output buffer (the
+    # large-grid route: a tiled scan compacts live triangles instead of
+    # materializing 12 slots per cell).
+    dtris, count, ovf = marching_tetrahedra_device_compact(field)
+    assert not bool(ovf) and int(count) == len(tris)
+    print(f"device compact extraction: {int(count)} triangles "
+          f"(buffer {dtris.shape[0]} rows, overflowed={bool(ovf)})")
     assert bool(info.converged) and rmse < 0.8 and abs(r.mean() - radius) < 0.5
     print("OK")
 
