@@ -213,13 +213,25 @@ def marching_squares_device(field, level: float = 0.0):
     (row, col) lattice coordinates: the fixed-size slot layout holds up to
     two segments per cell (row-major cells); ``valid`` masks the live slots.
     ``np.asarray(segments)[np.asarray(valid)]`` reproduces the host
-    ``marching_squares`` output up to segment order (tested).
+    ``marching_squares`` output up to segment order (tested). For grids
+    whose slot array would be too large (4096² ≈ 536 MB) use
+    ``marching_squares_device_compact``.
     """
-    import jax
     import jax.numpy as jnp
 
     f = jnp.asarray(field)
     f = (f - jnp.asarray(level, f.dtype)).astype(jnp.float32)
+    return _ms_slots(f, jnp.float32(0.0))
+
+
+def _ms_slots(f, base_r):
+    """Fixed-slot marching squares on an (already level-shifted) field
+    ``f [h, W]``; segment row coordinates are offset by ``base_r`` (traced
+    f32 scalar — lets tiled callers emit global coordinates).
+    Returns (segments [cells·2, 2, 2], valid [cells·2])."""
+    import jax
+    import jax.numpy as jnp
+
     H, W = f.shape
     v0 = f[:-1, :-1]
     v1 = f[:-1, 1:]
@@ -236,7 +248,7 @@ def marching_squares_device(field, level: float = 0.0):
         d = va - vb
         return jnp.where(d == 0, 0.5, va / jnp.where(d == 0, 1.0, d))
 
-    rr = jax.lax.broadcasted_iota(jnp.float32, v0.shape, 0)
+    rr = jax.lax.broadcasted_iota(jnp.float32, v0.shape, 0) + base_r
     cc = jax.lax.broadcasted_iota(jnp.float32, v0.shape, 1)
     # Edge interpolation points, indexed like _EDGE_CORNERS (top/right/
     # bottom/left), stacked as [H-1, W-1, 4 edges, 2 (row, col)].
@@ -359,6 +371,95 @@ def _mt_slots(f, base_i):
     return tris.reshape(n_slots, 3, 3), valid.reshape(n_slots)
 
 
+def _tiled_compact(fpad, extract, n_cells_0, ti, slots_per_plane, max_out,
+                   cap, item_shape):
+    """Shared tiled-scan compaction for the device extractors: walk the
+    field in tiles of ``ti`` cell-planes along axis 0, run ``extract(blk,
+    base) -> (items [slots_tile, *item_shape], valid)`` per tile, compact
+    the live slots to the front with a stable key sort, and stream them
+    into one ``max_out``-capped buffer at a running offset. Peak memory is
+    one tile of slots plus the output buffer; stream order matches the
+    full-slot extractors exactly. Pad-region cells (``fpad`` is padded so
+    every tile slices ti+1 planes) are masked by their global plane index.
+
+    Returns ``(items [max_out, *item_shape], count, overflowed)``: rows
+    ``[:count]`` are live (zeros beyond); ``overflowed`` is True iff items
+    were dropped against either ``max_out`` or the per-tile ``cap``.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    n_tiles = -(-n_cells_0 // ti)
+    slots_tile = ti * slots_per_plane
+    cap = min(cap, slots_tile)
+    # slot s belongs to cell-plane s // slots_per_plane of its tile
+    plane_of_slot = (jnp.arange(slots_tile, dtype=jnp.int32)
+                     // jnp.int32(slots_per_plane))
+    slot_iota = jnp.arange(slots_tile, dtype=jnp.int32)
+    cap_iota = jnp.arange(cap, dtype=jnp.int32)
+    expand = (slice(None),) + (None,) * len(item_shape)
+    blk_shape = (ti + 1,) + fpad.shape[1:]
+
+    def body(carry, t):
+        out, offset, clipped = carry
+        blk = jax.lax.dynamic_slice(
+            fpad, (t * ti,) + (0,) * (fpad.ndim - 1), blk_shape)
+        items, valid = extract(blk, (t * ti).astype(jnp.float32))
+        valid = valid & ((t * ti + plane_of_slot) < n_cells_0)
+        count = jnp.sum(valid, dtype=jnp.int32)
+        # stable valid-first permutation: valid slots keep their order
+        key = jnp.where(valid, slot_iota, slots_tile + slot_iota)
+        perm = jnp.argsort(key)[:cap]
+        items_c = jnp.take(items, perm, axis=0)           # [cap, *item]
+        allowed = jnp.clip(max_out - offset, 0, cap)
+        take = jnp.minimum(count, allowed)
+        items_c = jnp.where((cap_iota < take)[expand], items_c, 0.0)
+        out = jax.lax.dynamic_update_slice(
+            out, items_c, (offset,) + (0,) * len(item_shape))
+        return (out, offset + take, clipped + (count - take)), None
+
+    # cap extra rows of padding let every tile write a full [cap] block at
+    # its offset (≤ max_out by construction) without clamping.
+    out0 = jnp.zeros((max_out + cap,) + item_shape, jnp.float32)
+    (out, total, clipped), _ = jax.lax.scan(
+        body, (out0, jnp.int32(0), jnp.int32(0)),
+        jnp.arange(n_tiles, dtype=jnp.int32))
+    return out[:max_out], total, clipped > 0
+
+
+def marching_squares_device_compact(field, level: float = 0.0,
+                                    max_segments: int | None = None,
+                                    tile_rows: int = 64,
+                                    tile_capacity: int | None = None):
+    """Marching squares on device with BOUNDED output (jit-friendly).
+
+    The fixed-slot ``marching_squares_device`` emits 2 slots per cell
+    (~536 MB at 4096²); this variant streams row tiles through the same
+    slot extraction and keeps only the live segments — see
+    ``marching_tetrahedra_device_compact`` for the mechanism and the
+    meaning of ``(segments [max_segments, 2, 2], count, overflowed)``.
+
+    max_segments: output capacity; default ``8·max(H-1, W-1)`` (a contour
+      in an N² grid has O(N) segments). tile_rows: cell-rows per scan
+      step. tile_capacity: per-tile cap; default two fully-cut cell rows.
+    """
+    import jax.numpy as jnp
+
+    f = jnp.asarray(field)
+    f = (f - jnp.asarray(level, f.dtype)).astype(jnp.float32)
+    H, W = f.shape
+    if max_segments is None:
+        max_segments = 8 * max(H - 1, W - 1)
+    ti = max(1, min(tile_rows, H - 1))
+    n_tiles = -(-(H - 1) // ti)
+    fpad = jnp.pad(f, ((0, n_tiles * ti + 1 - H), (0, 0)),
+                   constant_values=1.0)
+    cap = (tile_capacity if tile_capacity is not None
+           else 2 * 2 * (W - 1))
+    return _tiled_compact(fpad, _ms_slots, H - 1, ti, 2 * (W - 1),
+                          max_segments, cap, (2, 2))
+
+
 def marching_tetrahedra_device_compact(field, level: float = 0.0,
                                        max_triangles: int | None = None,
                                        tile_planes: int = 8,
@@ -371,9 +472,9 @@ def marching_tetrahedra_device_compact(field, level: float = 0.0,
     grid in tiles of ``tile_planes`` cell-planes along axis 0, runs the same
     slot extraction per tile (`_mt_slots`), compacts the live slots to the
     front with a stable key sort, and streams them into one user-capped
-    buffer at a running offset. Peak memory is one tile of slots plus the
-    output buffer; the triangle stream order (row-major cells, _TETS order)
-    matches the full-slot extractor exactly.
+    buffer at a running offset (see ``_tiled_compact``). The triangle
+    stream order (row-major cells, _TETS order) matches the full-slot
+    extractor exactly.
 
     Returns ``(triangles [max_triangles, 3, 3], count, overflowed)``:
     rows ``[:count]`` are the extracted triangles (zeros beyond),
@@ -388,7 +489,6 @@ def marching_tetrahedra_device_compact(field, level: float = 0.0,
       plane of cells, ``12·(NJ-1)·(NK-1)`` — a surface must cut every cell
       of ``tile_planes`` planes to beat it (flagged via ``overflowed``).
     """
-    import jax
     import jax.numpy as jnp
 
     f = jnp.asarray(field)
@@ -402,38 +502,9 @@ def marching_tetrahedra_device_compact(field, level: float = 0.0,
     # Pad axis 0 so every tile slices (ti+1) planes; pad value is a benign
     # +1.0 (NOT inf — inf-vs-inf corners would interpolate to NaN, and even
     # masked NaNs poison a jnp.where'd multiply). Pad-region cells are
-    # masked out by their global row index below.
+    # masked out by their global plane index in _tiled_compact.
     fpad = jnp.pad(f, ((0, n_tiles * ti + 1 - NI), (0, 0), (0, 0)),
                    constant_values=1.0)
-    slots_tile = ti * cells_jk * 12
-    cap = min(tile_capacity if tile_capacity is not None else 12 * cells_jk,
-              slots_tile)
-    # slot s belongs to the cell-plane s // (12·cells_jk) of its tile
-    row_of_slot = (jnp.arange(slots_tile, dtype=jnp.int32)
-                   // jnp.int32(12 * cells_jk))
-    slot_iota = jnp.arange(slots_tile, dtype=jnp.int32)
-    cap_iota = jnp.arange(cap, dtype=jnp.int32)
-
-    def body(carry, t):
-        out, offset, clipped = carry
-        blk = jax.lax.dynamic_slice(fpad, (t * ti, 0, 0), (ti + 1, NJ, NK))
-        tris, valid = _mt_slots(blk, (t * ti).astype(jnp.float32))
-        valid = valid & ((t * ti + row_of_slot) < (NI - 1))
-        count = jnp.sum(valid, dtype=jnp.int32)
-        # stable valid-first permutation: valid slots keep their order
-        key = jnp.where(valid, slot_iota, slots_tile + slot_iota)
-        perm = jnp.argsort(key)[:cap]
-        tri_c = jnp.take(tris, perm, axis=0)              # [cap, 3, 3]
-        allowed = jnp.clip(max_triangles - offset, 0, cap)
-        take = jnp.minimum(count, allowed)
-        tri_c = jnp.where((cap_iota < take)[:, None, None], tri_c, 0.0)
-        out = jax.lax.dynamic_update_slice(out, tri_c, (offset, 0, 0))
-        return (out, offset + take, clipped + (count - take)), None
-
-    # cap extra rows of padding let every tile write a full [cap] block at
-    # its offset (≤ max_triangles by construction) without clamping.
-    out0 = jnp.zeros((max_triangles + cap, 3, 3), jnp.float32)
-    (out, total, clipped), _ = jax.lax.scan(
-        body, (out0, jnp.int32(0), jnp.int32(0)),
-        jnp.arange(n_tiles, dtype=jnp.int32))
-    return out[:max_triangles], total, clipped > 0
+    cap = (tile_capacity if tile_capacity is not None else 12 * cells_jk)
+    return _tiled_compact(fpad, _mt_slots, NI - 1, ti, 12 * cells_jk,
+                          max_triangles, cap, (3, 3))

@@ -292,3 +292,40 @@ def test_marching_tetrahedra_device_compact_in_pipeline():
     a, b, c = tris[:, 0], tris[:, 1], tris[:, 2]
     area = 0.5 * np.linalg.norm(np.cross(b - a, c - a), axis=1).sum()
     np.testing.assert_allclose(area, 4 * np.pi * 100, rtol=0.06)
+
+
+def test_marching_squares_device_compact_matches_full():
+    """The tiled/compacted 2D extractor emits exactly the full-slot
+    extractor's live segments in stream order, across tile boundaries and
+    non-divisible heights, and reports (never silences) overflow."""
+    import jax
+    import jax.numpy as jnp
+
+    from field_interpolation_tpu.contour import (
+        marching_squares_device, marching_squares_device_compact)
+
+    rng = np.random.default_rng(11)
+    for tile_rows in (1, 3, 5):
+        H, W = rng.integers(5, 30, 2)
+        yy, xx = np.mgrid[0:H, 0:W]
+        f = (np.hypot(yy - H / 2, xx - W / 2) - min(H, W) * 0.3
+             + 0.5 * rng.standard_normal((H, W))).astype(np.float32)
+        segs_full, valid = marching_squares_device(jnp.asarray(f))
+        want = np.asarray(segs_full)[np.asarray(valid)]
+
+        fn = jax.jit(marching_squares_device_compact,
+                     static_argnames=("max_segments", "tile_rows"))
+        segs, count, ovf = fn(jnp.asarray(f),
+                              max_segments=want.shape[0] + 9,
+                              tile_rows=tile_rows)
+        assert not bool(ovf)
+        assert int(count) == want.shape[0]
+        got = np.asarray(segs)
+        np.testing.assert_allclose(got[:int(count)], want, atol=2e-6)
+        assert np.all(got[int(count):] == 0.0)
+
+    # overflow against the global cap is flagged and the prefix is correct
+    segs, count, ovf = marching_squares_device_compact(
+        jnp.asarray(f), max_segments=5, tile_rows=4)
+    assert bool(ovf) and int(count) == 5
+    np.testing.assert_allclose(np.asarray(segs)[:5], want[:5], atol=2e-6)
