@@ -20,6 +20,8 @@ from .sdf import (
     assemble_sdf,
     interpolate,
     interpolate_precise,
+    sample_field,
+    sample_field_gradient,
     sdf_from_points,
     sdf_from_points_precise,
 )
@@ -46,5 +48,7 @@ __all__ = [
     "sdf_from_points_precise",
     "interpolate",
     "interpolate_precise",
+    "sample_field",
+    "sample_field_gradient",
     "PreciseProblem",
 ]

@@ -348,3 +348,44 @@ def interpolate_precise(
     pp = assemble_precise(grid, weights, positions, values,
                           point_weights=point_weights)
     return solve_refined(pp, config, x0=x0)
+
+
+@functools.partial(jax.jit, static_argnames=("grid",))
+def sample_field(grid: Grid, field: jax.Array,
+                 positions: jax.Array) -> jax.Array:
+    """Multilinear interpolation of a solved lattice field at continuous
+    positions [n, D] → values [n] — the read-side counterpart of
+    ``add_value_constraint`` (identical corner weights, SPEC.md §3), and
+    what the reference GUI does to draw readouts at sample positions.
+
+    jit/vmap/grad-friendly. Out-of-bounds positions are clamped to the
+    lattice; non-finite positions return NaN.
+    """
+    from .constraints import multilinear_corner_data
+    corner_idx, rows, _ = multilinear_corner_data(
+        grid, positions.astype(field.dtype))
+    vals = jnp.einsum("nc,nc->n", field.reshape(-1)[corner_idx],
+                      rows[:, 0, :], precision=jax.lax.Precision.HIGHEST)
+    finite = jnp.all(jnp.isfinite(positions), axis=-1)
+    return jnp.where(finite, vals, jnp.nan)
+
+
+@functools.partial(jax.jit, static_argnames=("grid",))
+def sample_field_gradient(grid: Grid, field: jax.Array,
+                          positions: jax.Array) -> jax.Array:
+    """Gradient of the multilinearly-interpolated field at continuous
+    positions [n, D] → gradients [n, D] — exactly the finite-difference
+    gradient ``add_gradient_constraint`` asserts (SPEC.md §4; the GUI's
+    gradient arrows). Piecewise-multilinear: within a cell the axis-a
+    derivative is the corner-pair difference weighted in the other axes.
+
+    Out-of-bounds positions are clamped to the lattice; non-finite
+    positions return NaN.
+    """
+    from .constraints import multilinear_corner_data
+    corner_idx, rows, _ = multilinear_corner_data(
+        grid, positions.astype(field.dtype))
+    grads = jnp.einsum("nc,ndc->nd", field.reshape(-1)[corner_idx],
+                       rows[:, 1:, :], precision=jax.lax.Precision.HIGHEST)
+    finite = jnp.all(jnp.isfinite(positions), axis=-1)
+    return jnp.where(finite[:, None], grads, jnp.nan)

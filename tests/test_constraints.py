@@ -153,3 +153,62 @@ def test_matmul_scatter_gates():
     assert cons.use_matmul_scatter(Grid((24, 16, 40)), 800)
     assert not cons.use_matmul_scatter(Grid((128, 128, 128)), 4000)
     assert not cons.use_matmul_scatter(Grid((64,)), 10)
+
+
+def test_sample_field_exact_on_multilinear_fields():
+    """sample_field/sample_field_gradient reproduce any per-cell multilinear
+    function exactly (the interpolation basis is multilinear), clamp
+    out-of-bounds positions, and return NaN for non-finite ones; the
+    gradient equals jax.jacfwd of sample_field w.r.t. position (interior
+    points — the interpolant is piecewise-multilinear)."""
+    import jax
+    import jax.numpy as jnp
+
+    import field_interpolation_tpu as fi
+    from field_interpolation_tpu import sample_field, sample_field_gradient
+
+    # 2D globally-affine field: exact everywhere, gradient constant
+    g = fi.Grid((8, 9))
+    rr, cc = np.mgrid[0:8, 0:9].astype(np.float32)
+    f = jnp.asarray(3.0 * rr - 2.0 * cc + 1.0)
+    pts = jnp.asarray([[2.5, 3.25], [0.0, 0.0], [7.0, 8.0],
+                       [np.nan, 1.0], [100.0, 2.0]], jnp.float32)
+    v = np.asarray(sample_field(g, f, pts))
+    want = [3 * 2.5 - 2 * 3.25 + 1, 1.0, 3 * 7 - 2 * 8 + 1,
+            np.nan, 3 * 7 - 2 * 2 + 1]  # OOB row clamps to r=7
+    np.testing.assert_allclose(v, want, rtol=1e-6)
+    gr = np.asarray(sample_field_gradient(g, f, pts))
+    np.testing.assert_allclose(gr[[0, 1, 2, 4]],
+                               [[3.0, -2.0]] * 4, rtol=1e-6)
+    assert np.all(np.isnan(gr[3]))
+
+    # 3D random field: gradient matches jax.jacfwd at interior points
+    rng = np.random.default_rng(0)
+    g3 = fi.Grid((5, 6, 7))
+    f3 = jnp.asarray(rng.standard_normal((5, 6, 7)).astype(np.float32))
+    p3 = jnp.asarray(rng.uniform(0.6, 3.4, (12, 3)).astype(np.float32))
+    got = np.asarray(sample_field_gradient(g3, f3, p3))
+    jac = jax.vmap(jax.jacfwd(
+        lambda p: sample_field(g3, f3, p[None])[0]))(p3)
+    np.testing.assert_allclose(got, np.asarray(jac), atol=1e-5)
+
+
+def test_sample_field_reads_back_constraints():
+    """Data-dominant interpolation: sampling the solved field at the
+    constraint positions reproduces the constrained values (the reference
+    GUI's readout loop, through the public API)."""
+    import jax.numpy as jnp
+
+    import field_interpolation_tpu as fi
+
+    rng = np.random.default_rng(1)
+    grid = fi.Grid((24, 24))
+    pts = jnp.asarray(rng.uniform(2, 21, (40, 2)).astype(np.float32))
+    vals = jnp.asarray(rng.standard_normal(40).astype(np.float32))
+    field, info = fi.interpolate(
+        grid, fi.Weights(data_pos=30.0, model_2=0.01), pts, vals,
+        config=fi.SolverConfig(tol=1e-5, preconditioner="multigrid",
+                               backend="xla", maxiter=2000))
+    assert bool(info.converged)
+    got = np.asarray(fi.sample_field(grid, field, pts))
+    np.testing.assert_allclose(got, np.asarray(vals), atol=5e-2)
