@@ -1,5 +1,6 @@
 from .observe import (
     SolveRecord,
+    measure_marginal,
     roofline_bytes_per_apply,
     record_solve,
     timed_block,
@@ -8,6 +9,7 @@ from .observe import (
 
 __all__ = [
     "SolveRecord",
+    "measure_marginal",
     "roofline_bytes_per_apply",
     "record_solve",
     "timed_block",

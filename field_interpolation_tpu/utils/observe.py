@@ -86,6 +86,60 @@ def timed_block():
         out["ms"] = (time.perf_counter() - t0) * 1e3
 
 
+def measure_marginal(step, init, counts: tuple[int, int] = (32, 160)):
+    """Marginal wall seconds per application of ``step``, by the chained
+    K-difference method — the one timing route that is reliable on a
+    remote-dispatch rig (and harmless on a local one):
+
+    * ``block_until_ready`` does NOT reliably sync through a dispatch
+      tunnel, so each measurement forces a SCALAR readback;
+    * every dispatch carries a flat host↔device round trip (~33 ms on the
+      axon rig) ONCE — timing two chains of different lengths and
+      differencing cancels it (naive single-chain timing smears it over K
+      as a phantom per-step cost; see NOTES_ROUND4.md item 5 for the
+      wrong attributions that trap produced before this was systematized).
+
+    step: carry → carry, jit-traceable with static shapes.
+    init: initial carry (pytree of arrays).
+    counts: the two chain lengths (K1 < K2). Pick them so the work
+      difference dwarfs the rig's dispatch jitter (±3 ms on axon).
+
+    Returns ``(seconds_per_step, details)`` where details holds the raw
+    chain timings and the final carry of the long chain (so callers can
+    check the chained computation stayed well-formed)."""
+    import jax
+    import jax.numpy as jnp
+
+    K1, K2 = counts
+    if not 0 <= K1 < K2:
+        raise ValueError(f"counts must satisfy 0 <= K1 < K2, got {counts}")
+
+    def chain(K):
+        @jax.jit
+        def run(c):
+            return jax.lax.fori_loop(0, K, lambda i, c: step(c), c)
+        return run
+
+    def sync(c):
+        # scalar readback of every leaf: the only reliable fence
+        return sum(float(jnp.sum(leaf)) for leaf in jax.tree.leaves(c))
+
+    times = {}
+    final = None
+    for K in (K1, K2):
+        run = chain(K)
+        out = run(init)
+        sync(out)                      # warmup incl. compile
+        t0 = time.perf_counter()
+        out = run(init)
+        sync(out)
+        times[K] = time.perf_counter() - t0
+        if K == K2:
+            final = out
+    per = (times[K2] - times[K1]) / (K2 - K1)
+    return per, {"times_s": times, "counts": (K1, K2), "final_carry": final}
+
+
 def record_solve(grid: Grid, info, wall_ms: float, *,
                  preconditioner: str = "jacobi", solver: str = "pcg",
                  chip: str = "v5e", stream: Optional[TextIO] = None,

@@ -150,3 +150,30 @@ def test_two_axis_striped_3d_matches_xla(rng):
     got = fused_normal_apply_striped2_3d(x, p.coeff, w, (4, 8), interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(p.apply(x)),
                                atol=1e-4)
+
+
+def test_measure_marginal():
+    """The chained K-difference timer: positive marginal, correct chain
+    semantics (the long chain's final carry really applied step K2 times),
+    and input validation."""
+    import jax.numpy as jnp
+    import pytest
+
+    from field_interpolation_tpu.utils import measure_marginal
+
+    # counting carry verifies chain semantics; the matmul makes the
+    # per-step work large enough to dominate host timing noise
+    a = jnp.eye(256) * 1.001
+
+    def step(c):
+        m, k = c
+        return (a @ m * (1.0 / 1.001), k + 1.0)
+
+    per, details = measure_marginal(step, (jnp.ones((256, 256)), jnp.float32(0)),
+                                    counts=(2, 64))
+    assert per > 0
+    np.testing.assert_allclose(np.asarray(details["final_carry"][1]), 64.0)
+    assert details["times_s"][64] > 0 and details["times_s"][2] > 0
+
+    with pytest.raises(ValueError):
+        measure_marginal(step, jnp.zeros(3), counts=(64, 8))
