@@ -287,11 +287,40 @@ def secondary_configs(log):
         log("WARNING: config 5 3D @1e-6 missed its tol")
 
 
+def preflight(timeout_s: float = 900.0) -> None:
+    """Fail FAST (and loudly) if the TPU backend is unreachable.
+
+    Initializing the remote axon backend blocks indefinitely in a
+    grant-retry sleep loop when the chip service is down (observed round
+    4: `jax.devices()` hung three processes for >35 min) — which would
+    hang the whole benchmark harness. Probe device init in a subprocess
+    with a bound generous enough for the service's multi-minute cold
+    start; on failure exit non-zero with a diagnostic instead of a bogus
+    JSON line."""
+    import subprocess
+    import sys as _sys
+
+    try:
+        r = subprocess.run(
+            [_sys.executable, "-c",
+             "import jax; print(jax.devices()[0])"],
+            timeout=timeout_s, capture_output=True, text=True)
+    except subprocess.TimeoutExpired:
+        log(f"FATAL: TPU backend init did not respond within {timeout_s:.0f}s"
+            " — chip service unreachable; no benchmark numbers produced.")
+        raise SystemExit(2)
+    if r.returncode != 0:
+        log("FATAL: TPU backend init failed:\n" + r.stderr.strip()[-2000:])
+        raise SystemExit(2)
+    log(f"preflight: {r.stdout.strip().splitlines()[-1]} reachable")
+
+
 def main():
     import jax
     import jax.numpy as jnp
     import field_interpolation_tpu as fi
 
+    preflight()
     dev = jax.devices()[0]
     log(f"device: {dev}")
 
