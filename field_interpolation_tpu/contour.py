@@ -134,6 +134,37 @@ def marching_tetrahedra(field: np.ndarray, level: float = 0.0) -> np.ndarray:
             else np.zeros((0, 3, 3)))
 
 
+def write_obj(path: str, triangles: np.ndarray,
+              weld_tol: float = 1e-5) -> tuple[int, int]:
+    """Write a triangle soup [n, 3, 3] (as produced by the marching-
+    tetrahedra extractors) to a Wavefront OBJ file, welding coincident
+    vertices (rounded to ``weld_tol``) so shared edges are truly shared —
+    the reference renders its surface in-GUI; this is the export path for
+    external viewers. Returns (num_vertices, num_triangles)."""
+    tris = np.asarray(triangles, dtype=np.float64)
+    if tris.ndim != 3 or tris.shape[1:] != (3, 3):
+        raise ValueError(f"expected [n, 3, 3] triangles, got {tris.shape}")
+    flat = tris.reshape(-1, 3)
+    keys = np.round(flat / weld_tol).astype(np.int64)
+    uniq, inv = np.unique(keys, axis=0, return_inverse=True)
+    # representative coordinates: first occurrence of each welded vertex
+    first = np.full(len(uniq), -1, dtype=np.int64)
+    seen = np.zeros(len(uniq), dtype=bool)
+    for i, j in enumerate(inv):
+        if not seen[j]:
+            seen[j] = True
+            first[j] = i
+    verts = flat[first]
+    faces = inv.reshape(-1, 3)
+    with open(path, "w") as fh:
+        fh.write("# field_interpolation_tpu iso-surface\n")
+        for v in verts:
+            fh.write(f"v {v[0]:.6f} {v[1]:.6f} {v[2]:.6f}\n")
+        for f in faces:
+            fh.write(f"f {f[0] + 1} {f[1] + 1} {f[2] + 1}\n")
+    return len(verts), len(faces)
+
+
 def contour_polylines(segments: np.ndarray, tol: float = 1e-9) -> list[np.ndarray]:
     """Chain marching-squares segments into polylines (closed where possible)."""
     if len(segments) == 0:

@@ -329,3 +329,39 @@ def test_marching_squares_device_compact_matches_full():
         jnp.asarray(f), max_segments=5, tile_rows=4)
     assert bool(ovf) and int(count) == 5
     np.testing.assert_allclose(np.asarray(segs)[:5], want[:5], atol=2e-6)
+
+
+def test_write_obj_roundtrip(tmp_path):
+    """OBJ export welds shared vertices and preserves the triangle set."""
+    from field_interpolation_tpu.contour import (marching_tetrahedra,
+                                                 write_obj)
+
+    ii, jj, kk = np.mgrid[0:9, 0:9, 0:9]
+    f = np.sqrt((ii - 4.0) ** 2 + (jj - 4.0) ** 2 + (kk - 4.0) ** 2) - 3.0
+    tris = marching_tetrahedra(f)
+    path = tmp_path / "s.obj"
+    nv, nf = write_obj(str(path), tris)
+    assert nf == len(tris)
+    assert nv < 3 * nf  # welding actually shared vertices
+
+    verts, faces = [], []
+    for line in path.read_text().splitlines():
+        if line.startswith("v "):
+            verts.append([float(t) for t in line.split()[1:]])
+        elif line.startswith("f "):
+            faces.append([int(t) - 1 for t in line.split()[1:]])
+    verts = np.asarray(verts)
+    got = verts[np.asarray(faces)]
+    # triangle sets equal up to the weld rounding
+    def canon(t):
+        t = np.round(np.asarray(t, np.float64), 4)
+        for n in range(t.shape[0]):
+            order = np.lexsort((t[n, :, 2], t[n, :, 1], t[n, :, 0]))
+            t[n] = t[n][order]
+        flat = t.reshape(t.shape[0], -1)
+        return t[np.lexsort(flat.T[::-1])]
+    np.testing.assert_allclose(canon(got), canon(tris), atol=1e-4)
+
+    import pytest
+    with pytest.raises(ValueError):
+        write_obj(str(path), np.zeros((3, 2, 2)))
