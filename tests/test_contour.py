@@ -365,3 +365,53 @@ def test_write_obj_roundtrip(tmp_path):
     import pytest
     with pytest.raises(ValueError):
         write_obj(str(path), np.zeros((3, 2, 2)))
+
+
+def test_compact_extractors_edge_densities():
+    """Degenerate densities through the compaction arithmetic: an empty
+    field (count 0, no overflow), and a checkerboard worst case where every
+    cell is cut — the default per-tile cap (one fully-cut plane) must
+    overflow EXACTLY when the tile spans >1 plane, and a full-capacity run
+    must reproduce the complete stream."""
+    import jax.numpy as jnp
+
+    from field_interpolation_tpu.contour import (
+        marching_squares_device, marching_squares_device_compact,
+        marching_tetrahedra_device, marching_tetrahedra_device_compact)
+
+    # empty: all-positive field
+    f0 = jnp.ones((7, 8, 9), jnp.float32)
+    tris, count, ovf = marching_tetrahedra_device_compact(f0, tile_planes=3)
+    assert int(count) == 0 and not bool(ovf)
+    assert np.all(np.asarray(tris) == 0.0)
+
+    # 3D checkerboard: every cell, every tet cut
+    ii, jj, kk = np.mgrid[0:6, 0:6, 0:6]
+    cb = (((ii + jj + kk) % 2) * 2.0 - 1.0).astype(np.float32)
+    tris_full, valid = marching_tetrahedra_device(jnp.asarray(cb))
+    want = np.asarray(tris_full)[np.asarray(valid)]
+    assert want.shape[0] > 12 * 125 * 0.5  # dense cutting
+
+    # default tile cap = one plane of slots; 2-plane tiles must overflow
+    _, count2, ovf2 = marching_tetrahedra_device_compact(
+        jnp.asarray(cb), max_triangles=want.shape[0], tile_planes=2)
+    assert bool(ovf2) and int(count2) < want.shape[0]
+
+    # full capacity reproduces the complete stream
+    tris3, count3, ovf3 = marching_tetrahedra_device_compact(
+        jnp.asarray(cb), max_triangles=want.shape[0], tile_planes=2,
+        tile_capacity=2 * 125 * 12)
+    assert not bool(ovf3) and int(count3) == want.shape[0]
+    np.testing.assert_allclose(np.asarray(tris3)[:int(count3)], want,
+                               atol=2e-6)
+
+    # 2D checkerboard through the same arithmetic
+    yy, xx = np.mgrid[0:7, 0:7]
+    cb2 = (((yy + xx) % 2) * 2.0 - 1.0).astype(np.float32)
+    segs_full, valid2 = marching_squares_device(jnp.asarray(cb2))
+    want2 = np.asarray(segs_full)[np.asarray(valid2)]
+    segs, c2, o2 = marching_squares_device_compact(
+        jnp.asarray(cb2), max_segments=want2.shape[0], tile_rows=3,
+        tile_capacity=3 * 2 * 6)
+    assert not bool(o2) and int(c2) == want2.shape[0]
+    np.testing.assert_allclose(np.asarray(segs)[:int(c2)], want2, atol=2e-6)
