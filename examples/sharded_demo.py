@@ -72,18 +72,17 @@ def main():
     print(f"sharded vs unsharded max rel diff: {err:.1e}")
 
     # Mixed-precision sharded refinement: TRUE <= 1e-6 residual vs the f64
-    # system, with fp32 sharded inner solves.
-    with jax.enable_x64():
-        p64 = fi.operators.assemble(grid, weights,
-                                    jnp.asarray(pts, jnp.float64),
-                                    jnp.zeros(len(pts), jnp.float64),
-                                    gradients=jnp.asarray(normals,
-                                                          jnp.float64))
-        cfg_r = fi.SolverConfig(tol=1e-6, preconditioner="multigrid",
-                                maxiter=2000, backend="xla")
-        x_r, info_r = solve_refined_sharded(shard_problem(p64, mesh), mesh,
-                                            cfg_r)
-        x_r.block_until_ready()
+    # system, with fp32 sharded inner solves. The PreciseProblem carries the
+    # matter-free precision protocol (owner-sharded f64 sample rows, one
+    # exact-scatter residual, incremental hi/lo updates) — the same tier the
+    # single-chip sdf_from_points_precise uses.
+    pp = fi.assemble_precise(grid, weights, jnp.asarray(pts),
+                             jnp.zeros(len(pts), jnp.float32),
+                             gradients=jnp.asarray(normals))
+    cfg_r = fi.SolverConfig(tol=1e-6, preconditioner="multigrid",
+                            maxiter=2000, backend="xla")
+    x_r, info_r = solve_refined_sharded(pp, mesh, cfg_r)
+    x_r.block_until_ready()
     print(f"sharded refined: rel={float(info_r.rel_residual):.1e} "
           f"conv={bool(info_r.converged)} (TRUE f64-measured residual)")
     assert bool(info_sh.converged) and bool(info_r.converged)
