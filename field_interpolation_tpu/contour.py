@@ -146,14 +146,9 @@ def write_obj(path: str, triangles: np.ndarray,
         raise ValueError(f"expected [n, 3, 3] triangles, got {tris.shape}")
     flat = tris.reshape(-1, 3)
     keys = np.round(flat / weld_tol).astype(np.int64)
-    uniq, inv = np.unique(keys, axis=0, return_inverse=True)
     # representative coordinates: first occurrence of each welded vertex
-    first = np.full(len(uniq), -1, dtype=np.int64)
-    seen = np.zeros(len(uniq), dtype=bool)
-    for i, j in enumerate(inv):
-        if not seen[j]:
-            seen[j] = True
-            first[j] = i
+    _, first, inv = np.unique(keys, axis=0, return_index=True,
+                              return_inverse=True)
     verts = flat[first]
     faces = inv.reshape(-1, 3)
     with open(path, "w") as fh:
