@@ -250,11 +250,11 @@ def marching_squares_device(field, level: float = 0.0):
     return _ms_slots(f, jnp.float32(0.0))
 
 
-def _ms_slots(f, base_r):
+def _ms_slots(f, base_r, base_c=None):
     """Fixed-slot marching squares on an (already level-shifted) field
-    ``f [h, W]``; segment row coordinates are offset by ``base_r`` (traced
-    f32 scalar — lets tiled callers emit global coordinates).
-    Returns (segments [cells·2, 2, 2], valid [cells·2])."""
+    ``f [h, W]``; segment coordinates are offset by ``base_r``/``base_c``
+    (traced f32 scalars — lets tiled/sharded callers emit global
+    coordinates). Returns (segments [cells·2, 2, 2], valid [cells·2])."""
     import jax
     import jax.numpy as jnp
 
@@ -276,6 +276,8 @@ def _ms_slots(f, base_r):
 
     rr = jax.lax.broadcasted_iota(jnp.float32, v0.shape, 0) + base_r
     cc = jax.lax.broadcasted_iota(jnp.float32, v0.shape, 1)
+    if base_c is not None:
+        cc = cc + base_c
     # Edge interpolation points, indexed like _EDGE_CORNERS (top/right/
     # bottom/left), stacked as [H-1, W-1, 4 edges, 2 (row, col)].
     p_top = jnp.stack([rr, cc + t_of(v0, v1)], -1)

@@ -583,3 +583,55 @@ def test_sharded_refined_precise_3d_mesh(rng):
         r = pp.residual64(jnp.asarray(np.asarray(x_sh)))
         rel = float(jnp.sqrt(jnp.sum(r * r) / jnp.sum(pp.b64 * pp.b64)))
     assert rel <= 1.1e-6, rel
+
+
+def test_marching_squares_sharded_matches_device():
+    """Sharded contour extraction (one-node halo exchange, per-shard
+    compaction) reproduces the unsharded device extraction's live segment
+    set in global coordinates — seam cells extracted exactly once, edge
+    shards' halo garbage masked — on 2x4 and 4x2 meshes, divisible and
+    seam-crossing fields, plus the overflow report."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from field_interpolation_tpu.contour import marching_squares_device
+    from field_interpolation_tpu.parallel.contour import (
+        marching_squares_sharded)
+
+    rng = np.random.default_rng(5)
+    for mesh_shape, (H, W) in (((2, 4), (16, 32)), ((4, 2), (32, 20))):
+        mesh = Mesh(np.array(jax.devices()[:8]).reshape(mesh_shape),
+                    axis_names=("x", "y"))
+        yy, xx = np.mgrid[0:H, 0:W]
+        f = (np.hypot(yy - H / 2, xx - W / 2) - 0.35 * min(H, W)
+             + 0.6 * rng.standard_normal((H, W))).astype(np.float32)
+
+        segs_full, valid = marching_squares_device(jnp.asarray(f))
+        want = np.asarray(segs_full)[np.asarray(valid)]
+
+        segs, counts, ovf = marching_squares_sharded(jnp.asarray(f), mesh)
+        assert not bool(ovf)
+        got = []
+        cnp = np.asarray(counts)
+        snp = np.asarray(segs)
+        for a in range(mesh_shape[0]):
+            for b in range(mesh_shape[1]):
+                got.append(snp[a, b, :cnp[a, b]])
+                assert np.all(snp[a, b, cnp[a, b]:] == 0.0)
+        got = np.concatenate(got, axis=0)
+        assert got.shape[0] == want.shape[0]
+
+        def canon(s):
+            s = np.round(np.asarray(s, np.float64), 4)
+            flip = s[:, 0, :].sum(-1) > s[:, 1, :].sum(-1)
+            s[flip] = s[flip][:, ::-1, :]
+            idx = np.lexsort((s[:, 1, 1], s[:, 1, 0], s[:, 0, 1], s[:, 0, 0]))
+            return s[idx]
+
+        np.testing.assert_allclose(canon(got), canon(want), atol=3e-5)
+
+    # overflow is reported, never silent
+    _, counts, ovf = marching_squares_sharded(jnp.asarray(f), mesh,
+                                              max_segments_per_shard=2)
+    assert bool(ovf)
