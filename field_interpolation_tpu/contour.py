@@ -346,10 +346,11 @@ def marching_tetrahedra_device(field, level: float = 0.0):
     return _mt_slots(f, jnp.float32(0.0))
 
 
-def _mt_slots(f, base_i):
+def _mt_slots(f, base_i, base_j=None, base_k=None):
     """Fixed-slot marching tetrahedra on an (already level-shifted) field
-    ``f [ni, NJ, NK]``; triangle row coordinates are offset by ``base_i``
-    (a traced f32 scalar — lets tiled callers emit global coordinates).
+    ``f [ni, NJ, NK]``; triangle coordinates are offset by ``base_i`` (and
+    optionally ``base_j``/``base_k``) — traced f32 scalars that let tiled
+    and sharded callers emit global coordinates.
     Returns (tris [cells·12, 3, 3], valid [cells·12])."""
     import jax
     import jax.numpy as jnp
@@ -366,6 +367,10 @@ def _mt_slots(f, base_i):
     ii = ii + base_i
     jj = jax.lax.broadcasted_iota(jnp.float32, (NI - 1, NJ - 1, NK - 1), 1)
     kk = jax.lax.broadcasted_iota(jnp.float32, (NI - 1, NJ - 1, NK - 1), 2)
+    if base_j is not None:
+        jj = jj + base_j
+    if base_k is not None:
+        kk = kk + base_k
     base = jnp.stack([ii, jj, kk], -1).reshape(cells, 1, 3)
     pos8 = base + jnp.asarray(_CUBE_CORNERS, jnp.float32)  # [cells, 8, 3]
 

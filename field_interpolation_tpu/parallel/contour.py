@@ -19,7 +19,7 @@ import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
 
-from ..contour import _ms_slots
+from ..contour import _ms_slots, _mt_slots
 
 
 def marching_squares_sharded(field, mesh: Mesh, level: float = 0.0,
@@ -98,3 +98,92 @@ def marching_squares_sharded(field, mesh: Mesh, level: float = 0.0,
 
     segs, counts, clipped = body(field)
     return segs, counts, jnp.any(clipped > 0)
+
+
+def marching_tetrahedra_sharded(field, mesh: Mesh, level: float = 0.0,
+                                max_triangles_per_shard: int | None = None):
+    """Marching tetrahedra on a mesh-sharded 3D field, entirely inside
+    shard_map — the 3D analog of ``marching_squares_sharded`` (grid dim d
+    sharded over mesh axis d, like solve_sharded).
+
+    The one-node halo here is three neighbor FACES, three EDGES, and the
+    far CORNER node, each fetched by routing the owner's origin slab one
+    ``ppermute`` hop per flagged axis; seam cells are then marched exactly
+    once, by their owner, and out-of-grid cells (edge shards' halo
+    garbage) are masked by global index.
+
+    Returns ``(triangles [m0, m1, m2, cap, 3, 3], counts [m0, m1, m2],
+    overflowed)`` in global (i, j, k) lattice coordinates; shard
+    ``(a, b, c)``'s rows ``[:counts[a, b, c]]`` are live (zeros beyond),
+    and ``overflowed`` is True iff some shard cut more than ``cap`` slots.
+    """
+    NI, NJ, NK = field.shape
+    names = mesh.axis_names[:3]
+    sizes = tuple(mesh.shape[n] for n in names)
+    for d, (n, m) in enumerate(zip((NI, NJ, NK), sizes)):
+        if n % m != 0:
+            raise ValueError(f"grid dim {d} ({n}) not divisible by mesh "
+                             f"axis {names[d]!r} ({m})")
+    h, w, dd = NI // sizes[0], NJ // sizes[1], NK // sizes[2]
+    cap = (max_triangles_per_shard if max_triangles_per_shard is not None
+           else 48 * max(h * w, h * dd, w * dd))
+    n_slots = h * w * dd * 12
+    slot_cell = jnp.arange(n_slots, dtype=jnp.int32) // 12
+    slot_i = slot_cell // (w * dd)
+    slot_j = (slot_cell // dd) % w
+    slot_k = slot_cell % dd
+    cap_iota = jnp.arange(cap, dtype=jnp.int32)
+
+    def recv_next(x, name, m):
+        if m == 1:
+            return jnp.zeros_like(x)
+        return lax.ppermute(x, name, [(i + 1, i) for i in range(m - 1)])
+
+    @functools.partial(
+        jax.shard_map, mesh=mesh, in_specs=P(*names),
+        out_specs=(P(*names, None, None, None), P(*names), P(*names)),
+        check_vma=False,
+    )
+    def body(f):
+        idx = [lax.axis_index(n) for n in names]
+
+        def fetch(flags):
+            """Origin slab of the (+flags) neighbor block: slice the local
+            origin along each flagged axis, then route one hop per flagged
+            axis (already-routed data keeps composing)."""
+            sl = tuple(slice(0, 1) if fl else slice(None) for fl in flags)
+            out = f[sl]
+            for name, m, fl in zip(names, sizes, flags):
+                if fl:
+                    out = recv_next(out, name, m)
+            return out
+
+        bottom = jnp.concatenate(
+            [jnp.concatenate([f, fetch((0, 0, 1))], axis=2),
+             jnp.concatenate([fetch((0, 1, 0)), fetch((0, 1, 1))], axis=2)],
+            axis=1)                                    # [h, w+1, d+1]
+        top = jnp.concatenate(
+            [jnp.concatenate([fetch((1, 0, 0)), fetch((1, 0, 1))], axis=2),
+             jnp.concatenate([fetch((1, 1, 0)), fetch((1, 1, 1))], axis=2)],
+            axis=1)                                    # [1, w+1, d+1]
+        ext = jnp.concatenate([bottom, top], axis=0)   # [h+1, w+1, d+1]
+        ext = ext - jnp.asarray(level, ext.dtype)
+        tris, valid = _mt_slots(ext.astype(jnp.float32),
+                                (idx[0] * h).astype(jnp.float32),
+                                (idx[1] * w).astype(jnp.float32),
+                                (idx[2] * dd).astype(jnp.float32))
+        valid = (valid & ((idx[0] * h + slot_i) < (NI - 1))
+                 & ((idx[1] * w + slot_j) < (NJ - 1))
+                 & ((idx[2] * dd + slot_k) < (NK - 1)))
+        count = jnp.sum(valid, dtype=jnp.int32)
+        key = jnp.where(valid, jnp.arange(n_slots, dtype=jnp.int32),
+                        n_slots + jnp.arange(n_slots, dtype=jnp.int32))
+        perm = jnp.argsort(key)[:cap]
+        out = jnp.take(tris, perm, axis=0)             # [cap, 3, 3]
+        take = jnp.minimum(count, cap)
+        out = jnp.where((cap_iota < take)[:, None, None], out, 0.0)
+        return (out[None, None, None], take[None, None, None],
+                (count - take)[None, None, None])
+
+    tris, counts, clipped = body(field)
+    return tris, counts, jnp.any(clipped > 0)

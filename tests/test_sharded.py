@@ -635,3 +635,56 @@ def test_marching_squares_sharded_matches_device():
     _, counts, ovf = marching_squares_sharded(jnp.asarray(f), mesh,
                                               max_segments_per_shard=2)
     assert bool(ovf)
+
+
+def test_marching_tetrahedra_sharded_matches_device():
+    """3D sharded extraction (face/edge/corner halos) reproduces the
+    unsharded device extraction's live triangle set in global coordinates
+    on a 2x2x2 mesh, including a noisy seam-crossing field."""
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import Mesh
+
+    from field_interpolation_tpu.contour import marching_tetrahedra_device
+    from field_interpolation_tpu.parallel.contour import (
+        marching_tetrahedra_sharded)
+
+    rng = np.random.default_rng(9)
+    mesh = Mesh(np.array(jax.devices()[:8]).reshape(2, 2, 2),
+                axis_names=("x", "y", "z"))
+    NI, NJ, NK = 8, 10, 12
+    ii, jj, kk = np.mgrid[0:NI, 0:NJ, 0:NK]
+    f = (np.sqrt((ii - NI / 2) ** 2 + (jj - NJ / 2) ** 2
+                 + (kk - NK / 2) ** 2) - 3.4
+         + 0.5 * rng.standard_normal((NI, NJ, NK))).astype(np.float32)
+
+    tris_full, valid = marching_tetrahedra_device(jnp.asarray(f))
+    want = np.asarray(tris_full)[np.asarray(valid)]
+
+    tris, counts, ovf = marching_tetrahedra_sharded(jnp.asarray(f), mesh)
+    assert not bool(ovf)
+    cnp = np.asarray(counts)
+    tnp = np.asarray(tris)
+    got = []
+    for a in range(2):
+        for b in range(2):
+            for c in range(2):
+                got.append(tnp[a, b, c, :cnp[a, b, c]])
+                assert np.all(tnp[a, b, c, cnp[a, b, c]:] == 0.0)
+    got = np.concatenate(got, axis=0)
+    assert got.shape[0] == want.shape[0]
+
+    def canon(t):
+        t = np.round(np.asarray(t, np.float64), 4)
+        for n in range(t.shape[0]):
+            order = np.lexsort((t[n, :, 2], t[n, :, 1], t[n, :, 0]))
+            t[n] = t[n][order]
+        flat = t.reshape(t.shape[0], -1)
+        return t[np.lexsort(flat.T[::-1])]
+
+    np.testing.assert_allclose(canon(got), canon(want), atol=3e-4)
+
+    # overflow reported
+    _, _, ovf2 = marching_tetrahedra_sharded(jnp.asarray(f), mesh,
+                                             max_triangles_per_shard=3)
+    assert bool(ovf2)
