@@ -415,3 +415,31 @@ def test_compact_extractors_edge_densities():
         tile_capacity=3 * 2 * 6)
     assert not bool(o2) and int(c2) == want2.shape[0]
     np.testing.assert_allclose(np.asarray(segs)[:int(c2)], want2, atol=2e-6)
+
+
+def test_compact_extractor_vmaps():
+    """The compacted extractors compose with vmap (batched frame loops):
+    each lane's bounded buffer equals its own unbatched extraction."""
+    import jax
+    import jax.numpy as jnp
+
+    from field_interpolation_tpu.contour import (
+        marching_squares_device, marching_squares_device_compact)
+
+    rng = np.random.default_rng(0)
+    B, H, W = 4, 14, 17
+    yy, xx = np.mgrid[0:H, 0:W]
+    fs = np.stack([(np.hypot(yy - H / 2, xx - W / 2) - 4.0
+                    + 0.4 * rng.standard_normal((H, W)))
+                   for _ in range(B)]).astype(np.float32)
+    fn = jax.jit(jax.vmap(
+        lambda f: marching_squares_device_compact(f, max_segments=256,
+                                                  tile_rows=4)))
+    segs, counts, ovf = fn(jnp.asarray(fs))
+    assert not np.any(np.asarray(ovf))
+    for b in range(B):
+        full, valid = marching_squares_device(jnp.asarray(fs[b]))
+        want = np.asarray(full)[np.asarray(valid)]
+        got = np.asarray(segs[b])[:int(counts[b])]
+        assert got.shape[0] == want.shape[0]
+        np.testing.assert_allclose(got, want, atol=2e-6)
