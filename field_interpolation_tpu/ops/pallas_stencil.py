@@ -1483,11 +1483,12 @@ def fused_pcg_solve(x, r, tol2, iter_budget, coeffs, sids, Rs, inv_c,
     """One safeguard SEGMENT of MG-PCG entirely inside ONE Pallas kernel.
 
     ``chunk``: CG iterations per while-loop TRIP, straight-line unrolled.
-    A dynamic loop trip costs a measured ~17-21 µs on this backend EVEN
-    WITH AN EMPTY BODY (round-4 microbenches: a bare ``c+1`` while_loop is
-    21.4 µs/trip — about one kernel-launch floor per trip), so chunking
-    amortizes the trip floor over ``chunk`` real iterations. Convergence
-    semantics are unchanged: the recurrence test runs once per trip, the
+    MEASURED NULL kept as a knob (NOTES_ROUND4.md): the "~21 µs/trip even
+    empty" reading that motivated it was the flat ~33 ms dispatch round
+    trip mis-attributed per-trip — once differenced out, the in-kernel
+    while trip is cheap (chunk=2 identical to chunk=1; chunk≥4 WORSE via
+    overshoot iterations). Default 1. Convergence semantics are unchanged
+    either way: the recurrence test runs once per trip, the
     extra ≤chunk−1 iterations past the tolerance are harmless (α's
     pAp-guard keeps post-convergence steps stable and the caller verifies
     against a TRUE residual anyway); the returned count includes the
@@ -1587,7 +1588,7 @@ def fused_pcg_solve(x, r, tol2, iter_budget, coeffs, sids, Rs, inv_c,
 
         def body(carry):
             k, rz, rr = carry
-            for _ in range(chunk):  # straight-line: one trip floor per chunk
+            for _ in range(chunk):  # straight-line unroll (chunk=1 default)
                 k, rz, rr = one_iter(k, rz, rr)
             return k, rz, rr
 

@@ -117,12 +117,13 @@ class SolverConfig:
     mg_cycle: str = "auto"           # "auto" | "v" | "w"
     mg_wcycle_depth: int = 99        # transitions that double (mg_cycle="w")
     # CG iterations per in-kernel while-loop TRIP in the fused solver
-    # (backend "auto"/"pallas" only). A dynamic loop trip costs ~17-21 µs
-    # on v5e EVEN EMPTY (measured round 4 — about one kernel-launch floor
-    # per trip); chunking runs this many iterations straight-line per trip
-    # and tests convergence once per chunk. Up to chunk−1 harmless extra
-    # iterations run past the tolerance (the safeguard re-verifies against
-    # a true residual regardless). 1 = no chunking.
+    # (backend "auto"/"pallas" only). MEASURED NULL kept as a knob
+    # (NOTES_ROUND4.md): the "~21 µs/trip even empty" reading that
+    # motivated it was the flat ~33 ms dispatch round trip mis-attributed
+    # per-trip; correctly differenced, the trip is cheap — chunk=2 is
+    # identical and chunk≥4 is WORSE (overshoot iterations past the
+    # tolerance; the safeguard re-verifies against a true residual
+    # regardless). 1 (default) = no chunking.
     pcg_chunk: int = 1
     # Coarsest-level solver: "dense" factors the coarsest operator once at
     # setup (exact inverse, one small MXU matmul per V-cycle — dozens of
