@@ -197,6 +197,16 @@ class App:
                     cfg.mg_pre_smooth, cfg.mg_post_smooth),
                 frame=self.frame, warm=warm,
                 rmse=rmse if rmse is not None else -1.0)
+        if self.args.probe:
+            # the GUI's value-under-the-cursor readout: multilinear field
+            # value + gradient at a continuous position (sample_field API)
+            r, _, c = self.args.probe.partition(",")
+            pos = jnp.asarray([[float(r), float(c)]], jnp.float32)
+            v = float(fi.sample_field(self.grid, x, pos)[0])
+            gx, gy = np.asarray(
+                fi.sample_field_gradient(self.grid, x, pos))[0]
+            print(f"  probe ({float(r):g},{float(c):g}): value={v:+.4f} "
+                  f"grad=({gx:+.3f},{gy:+.3f}) |grad|={np.hypot(gx, gy):.3f}")
         if render and not self.args.no_render:
             render_ansi(field, segs)
         if self.args.ppm:
@@ -294,6 +304,10 @@ def main():
                     help="emit one structured SolveRecord JSON line per "
                          "frame to stderr (utils.observe)")
     ap.add_argument("--ppm", default="", help="also write a PPM image here")
+    ap.add_argument("--probe", default="",
+                    help="print the field value+gradient at a continuous "
+                         "position 'row,col' each frame (the GUI's "
+                         "under-the-cursor readout)")
     args = ap.parse_args()
 
     if args.cpu:
