@@ -53,3 +53,21 @@ def test_example_sharded_demo(capsys):
     _run("examples/sharded_demo.py")
     out = capsys.readouterr().out
     assert "OK" in out
+
+
+@pytest.mark.slow
+def test_example_demo_1d(capsys):
+    # Small lattice keeps the three per-preset jit compiles quick; the
+    # preset comparison is the reference GUI's 1D mode (SURVEY.md §1 L4).
+    _run("examples/demo_1d.py", ("x", "--cpu", "--size", "96", "--n", "7"))
+    out = capsys.readouterr().out
+    assert "order-2 (stiff rod)" in out and "RMSE" in out
+
+
+@pytest.mark.slow
+def test_example_demo_1d_gradients(capsys):
+    _run("examples/demo_1d.py",
+         ("x", "--cpu", "--size", "96", "--n", "7", "--gradients",
+          "--w2", "0.5"))
+    out = capsys.readouterr().out
+    assert "custom" in out and "RMSE" in out
