@@ -210,11 +210,16 @@ class App:
         if render and not self.args.no_render:
             render_ansi(field, segs)
         if self.args.ppm:
-            from field_interpolation_tpu.visualize import (draw_contour,
+            from field_interpolation_tpu.visualize import (draw_arrows,
+                                                           draw_contour,
                                                            sdf_colormap,
                                                            write_ppm)
-            write_ppm(self.args.ppm,
-                      draw_contour(sdf_colormap(field), segs, (0, 0, 0)))
+            img = draw_contour(sdf_colormap(field), segs, (0, 0, 0))
+            if self.args.arrows:
+                # the GUI's normal-arrow overlay at the oriented samples
+                img = draw_arrows(img, pts, nrm,
+                                  length=0.03 * min(self.grid.shape))
+            write_ppm(self.args.ppm, img)
         self.frame += 1
         return ms
 
@@ -304,6 +309,8 @@ def main():
                     help="emit one structured SolveRecord JSON line per "
                          "frame to stderr (utils.observe)")
     ap.add_argument("--ppm", default="", help="also write a PPM image here")
+    ap.add_argument("--arrows", action="store_true",
+                    help="overlay sample-normal arrows on the PPM image")
     ap.add_argument("--probe", default="",
                     help="print the field value+gradient at a continuous "
                          "position 'row,col' each frame (the GUI's "

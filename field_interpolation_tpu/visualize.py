@@ -58,6 +58,41 @@ def draw_contour(image: np.ndarray, segments: np.ndarray,
     return img
 
 
+def draw_arrows(image: np.ndarray, positions: np.ndarray,
+                directions: np.ndarray, length: float = 6.0,
+                color=(0, 200, 0)) -> np.ndarray:
+    """Rasterize direction arrows at lattice positions — the reference GUI's
+    gradient/normal-arrow overlay (SURVEY.md §3.2 'heatmap + arrows +
+    contour'). positions/directions are [n, 2] in (row, col) lattice coords;
+    each arrow is a `length`-pixel shaft along the (normalized) direction
+    plus two short head strokes. Same stamping style as draw_contour."""
+    img = image.copy()
+    H, W = img.shape[:2]
+    pos = np.asarray(positions, np.float64)
+    d = np.asarray(directions, np.float64)
+    norm = np.maximum(np.linalg.norm(d, axis=1, keepdims=True), 1e-12)
+    d = d / norm
+
+    def stamp(a, b):
+        n = int(np.ceil(np.hypot(*(b - a)) * 4)) + 1
+        for t in np.linspace(0.0, 1.0, n):
+            p = a + t * (b - a)
+            r, c = int(round(p[0])), int(round(p[1]))
+            if 0 <= r < H and 0 <= c < W:
+                img[r, c] = color
+
+    # 30° head strokes, 40% of the shaft
+    ca, sa = np.cos(np.pi * 5 / 6), np.sin(np.pi * 5 / 6)
+    for p, u in zip(pos, d):
+        tip = p + length * u
+        stamp(p, tip)
+        left = np.array([ca * u[0] - sa * u[1], sa * u[0] + ca * u[1]])
+        right = np.array([ca * u[0] + sa * u[1], -sa * u[0] + ca * u[1]])
+        stamp(tip, tip + 0.4 * length * left)
+        stamp(tip, tip + 0.4 * length * right)
+    return img
+
+
 def write_ppm(path: str, rgb: np.ndarray) -> None:
     """Save an RGB uint8 image as binary PPM (no imaging deps needed)."""
     h, w = rgb.shape[:2]

@@ -66,6 +66,22 @@ def test_visualize_helpers(tmp_path):
     assert v.shape == (32, 32, 3)
 
 
+def test_draw_arrows():
+    from field_interpolation_tpu.visualize import draw_arrows
+    img = np.zeros((32, 32, 3), np.uint8)
+    pos = np.array([[16.0, 16.0], [4.0, 4.0]])
+    dirs = np.array([[0.0, 1.0], [1.0, 0.0]])  # (row, col): right / down
+    out = draw_arrows(img, pos, dirs, length=6.0, color=(0, 200, 0))
+    assert out.shape == img.shape and img.sum() == 0  # input untouched
+    # shaft pixels along each direction are stamped
+    assert (out[16, 17:22] == (0, 200, 0)).all()
+    assert (out[5:10, 4] == (0, 200, 0)).all()
+    # arrowhead strokes exist (more green pixels than two bare shafts)
+    assert (out[..., 1] == 200).sum() > 14
+    # degenerate zero-direction arrow must not crash (normalization guard)
+    draw_arrows(img, np.array([[8.0, 8.0]]), np.array([[0.0, 0.0]]))
+
+
 def test_checkpoint_roundtrip(rng, tmp_path):
     from field_interpolation_tpu.checkpoint import load_state, save_state
     w, p = _problem(rng, (24, 24), 2)
