@@ -287,7 +287,8 @@ def secondary_configs(log):
         log("WARNING: config 5 3D @1e-6 missed its tol")
 
 
-def preflight(timeout_s: float = 900.0) -> None:
+def preflight(timeout_s: float = 900.0, attempts: int = 3,
+              retry_wait_s: float = 300.0) -> None:
     """Fail FAST (and loudly) if the TPU backend is unreachable.
 
     Initializing the remote axon backend blocks indefinitely in a
@@ -295,24 +296,36 @@ def preflight(timeout_s: float = 900.0) -> None:
     4: `jax.devices()` hung three processes for >35 min) — which would
     hang the whole benchmark harness. Probe device init in a subprocess
     with a bound generous enough for the service's multi-minute cold
-    start; on failure exit non-zero with a diagnostic instead of a bogus
-    JSON line."""
+    start; retry a couple of times with a wait (the round-4 outage came
+    and went — a single-shot probe would forfeit the whole benchmark run
+    to a transient window); on final failure exit non-zero with a
+    diagnostic instead of a bogus JSON line."""
     import subprocess
     import sys as _sys
 
-    try:
-        r = subprocess.run(
-            [_sys.executable, "-c",
-             "import jax; print(jax.devices()[0])"],
-            timeout=timeout_s, capture_output=True, text=True)
-    except subprocess.TimeoutExpired:
-        log(f"FATAL: TPU backend init did not respond within {timeout_s:.0f}s"
-            " — chip service unreachable; no benchmark numbers produced.")
-        raise SystemExit(2)
-    if r.returncode != 0:
-        log("FATAL: TPU backend init failed:\n" + r.stderr.strip()[-2000:])
-        raise SystemExit(2)
-    log(f"preflight: {r.stdout.strip().splitlines()[-1]} reachable")
+    last = None
+    for attempt in range(1, attempts + 1):
+        try:
+            r = subprocess.run(
+                [_sys.executable, "-c",
+                 "import jax; print(jax.devices()[0])"],
+                timeout=timeout_s, capture_output=True, text=True)
+        except subprocess.TimeoutExpired:
+            last = (f"TPU backend init did not respond within "
+                    f"{timeout_s:.0f}s (attempt {attempt}/{attempts})")
+        else:
+            if r.returncode == 0:
+                log(f"preflight: {r.stdout.strip().splitlines()[-1]} "
+                    f"reachable (attempt {attempt})")
+                return
+            last = (f"TPU backend init failed (attempt {attempt}/"
+                    f"{attempts}):\n" + r.stderr.strip()[-2000:])
+        log(f"preflight: {last}")
+        if attempt < attempts:
+            time.sleep(retry_wait_s)
+    log("FATAL: chip service unreachable after all preflight attempts; "
+        "no benchmark numbers produced.")
+    raise SystemExit(2)
 
 
 def main():
