@@ -4,10 +4,15 @@
 Slices, each as a measure_marginal chain (carry-perturbed inputs so XLA
 cannot hoist the loop-invariant solve out of the fori_loop):
   asm32     — assemble_sdf only
+  setup     — assemble + MG setup (build_levels + smoothing setup + the
+              per-solve dense coarsest jnp.linalg.inv — LU is latency-bound
+              on TPU, a prime suspect for the non-iteration time)
+  inv256    — jnp.linalg.inv of one 256×256 SPD matrix, isolated
   sdf32     — assemble + fp32 MG solve (fused kernels)      [known ~0.56 ms]
   asmP      — assemble_precise only (f64 rows + b64)
   headline  — sdf_from_points_precise (the full refined path)
-Derived: fp32 solve = sdf32 - asm32; refine tier = headline - sdf32 - (asmP - asm32).
+Derived: fp32 solve = sdf32 - asm32; refine tier = headline - sdf32 - (asmP - asm32);
+MG setup = setup - asm32.
 """
 import sys
 import os
@@ -66,6 +71,26 @@ def main():
         x, info = fi.sdf_from_points(grid, w, p, n, config=cfg4)
         return c + jnp.sum(x) * 1e-9
 
+    def step_setup(c):
+        from field_interpolation_tpu import multigrid
+        p, n = perturbed(c)
+        prob = fi.assemble_sdf(grid, w, p, n)
+        levels = multigrid.build_levels(prob, cfg)
+        lump, fine_ddiag, taus, rhos = multigrid.build_smoothing_setup(
+            prob, levels, cfg)
+        inv = multigrid._coarse_dense_inverse(levels[-1])
+        acc = (leafsum(prob) + jnp.sum(inv) + sum(taus) + fine_ddiag.sum())
+        return c + acc.astype(jnp.float32) * 1e-9
+
+    # fixed SPD 256x256, carry-perturbed: isolates the inv cost alone
+    rngm = np.random.default_rng(1)
+    Mh = rngm.standard_normal((256, 256)).astype(np.float32)
+    Mspd = jnp.asarray(Mh @ Mh.T + 256 * np.eye(256, dtype=np.float32))
+
+    def step_inv256(c):
+        inv = jnp.linalg.inv(Mspd + c * 1e-12)
+        return c + jnp.sum(inv) * 1e-9
+
     def step_asmP(c):
         p, n = perturbed(c)
         pp = fi.assemble_precise(grid, w, p, jnp.zeros(N), gradients=n)
@@ -80,6 +105,8 @@ def main():
     res = {}
     for name, step, counts in [
         ("asm32", step_asm32, (1, 3) if smoke else (64, 512)),
+        ("setup", step_setup, (1, 3) if smoke else (64, 512)),
+        ("inv256", step_inv256, (1, 3) if smoke else (64, 512)),
         ("asmP", step_asmP, (1, 3) if smoke else (64, 512)),
         ("sdf32", step_sdf32, (1, 3) if smoke else (64, 320)),
         ("headline", step_headline, (1, 3) if smoke else (32, 192)),
@@ -89,6 +116,8 @@ def main():
         print(f"{name:9s} {s*1e3:8.3f} ms/step   chains={det['times_s']}",
               flush=True)
     print(f"\nfp32 solve  = {res['sdf32']-res['asm32']:.3f} ms")
+    print(f"MG setup    = {res['setup']-res['asm32']:.3f} ms "
+          f"(inv256 alone = {res['inv256']:.3f} ms)")
     print(f"precise-asm extra = {res['asmP']-res['asm32']:.3f} ms")
     print(f"refine tier = {res['headline']-res['sdf32']-(res['asmP']-res['asm32']):.3f} ms")
 
