@@ -1,0 +1,108 @@
+"""Doc-rot guard: every backticked symbol in docs/api.md must resolve
+against the real package (docs/api.md claims "every public symbol verified
+to resolve" — this makes that claim mechanical). Non-code spans (CLI lines,
+shell text, quoted config values) are skipped by shape, not by allowlist,
+so new API entries are checked automatically."""
+
+import dataclasses
+import inspect
+import re
+
+
+def _namespaces():
+    import field_interpolation_tpu as fi
+    from field_interpolation_tpu import (batch, checkpoint, constraints,
+                                         contour, debugging, df, diff,
+                                         explicit, grid, multigrid, native,
+                                         operators, parallel, sdf, solver,
+                                         stencils, utils, visualize, weights)
+    from field_interpolation_tpu import ops
+    from field_interpolation_tpu.ops import pallas_stencil
+    from field_interpolation_tpu.parallel import contour as pcontour
+    from field_interpolation_tpu.parallel import sharded
+    from field_interpolation_tpu.utils import observe
+    return {
+        "fi": fi, "field_interpolation_tpu": fi, "batch": batch,
+        "checkpoint": checkpoint, "constraints": constraints,
+        "contour": contour, "debugging": debugging, "df": df, "diff": diff,
+        "explicit": explicit, "grid": grid, "multigrid": multigrid,
+        "native": native, "operators": operators, "parallel": parallel,
+        "sdf": sdf, "solver": solver, "stencils": stencils, "utils": utils,
+        "visualize": visualize, "weights": weights,
+        "ops": ops, "pallas_stencil": pallas_stencil, "sharded": sharded,
+        "observe": observe, "parallel.contour": pcontour,
+    }
+
+
+def _known_names(spaces):
+    names = set()
+    for m in spaces.values():
+        for n in dir(m):
+            if n.startswith("_"):
+                continue
+            names.add(n)
+            obj = getattr(m, n)
+            if inspect.isclass(obj):
+                names.update(a for a in dir(obj) if not a.startswith("_"))
+                if dataclasses.is_dataclass(obj):
+                    names.update(f.name for f in dataclasses.fields(obj))
+            if callable(obj):
+                try:
+                    names.update(inspect.signature(obj).parameters)
+                except (ValueError, TypeError):
+                    pass
+    return names
+
+
+def _resolve_dotted(token, spaces):
+    head, *rest = token.split(".")
+    obj = spaces.get(token)
+    if obj is not None:
+        return True
+    obj = spaces.get(head)
+    if obj is None:
+        return False
+    for part in rest:
+        # ops.pallas_stencil style: allow one submodule hop via spaces
+        if not hasattr(obj, part):
+            return False
+        obj = getattr(obj, part)
+    return True
+
+
+def test_api_md_symbols_resolve():
+    # external vocabulary the doc legitimately names (JAX collectives,
+    # the reference's loguru macro) — not symbols of this package
+    external = {"shard_map", "ppermute", "psum", "vmap", "pjit", "jit",
+                "checkify", "CHECK_F"}
+    text = open("docs/api.md").read()
+    spaces = _namespaces()
+    known = _known_names(spaces)
+    failures = []
+    for span in re.findall(r"`([^`]+)`", text):
+        s = span.strip()
+        # non-code spans by shape: shell/CLI text, quoted values, paths,
+        # flags, env vars, ranges like model_0..model_3
+        if (" " in s or s.startswith(("-", "--", "/", ".", '"'))
+                or "=" in s or '"' in s or ".." in s or "^" in s
+                or s.endswith((".md", ".py"))):
+            continue
+        # signature → callee:  fi.solve(problem, config)  →  fi.solve
+        s = s.split("(")[0]
+        # bracket alternation: solve_sparse_linear[_with_guess]
+        variants = []
+        m = re.fullmatch(r"([\w.]+)\[(\w+)\]", s)
+        if m:
+            variants = [m.group(1), m.group(1) + m.group(2)]
+        else:
+            variants = [s]
+        for v in variants:
+            if not re.fullmatch(r"[A-Za-z_][\w.]*", v):
+                continue
+            if v in external or v.startswith("jax."):
+                continue
+            ok = (_resolve_dotted(v, spaces) if "." in v
+                  else (v in known or v in spaces))
+            if not ok:
+                failures.append(v)
+    assert not failures, f"unresolvable api.md symbols: {sorted(set(failures))}"
