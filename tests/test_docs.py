@@ -8,6 +8,8 @@ import dataclasses
 import inspect
 import re
 
+import pytest
+
 
 def _namespaces():
     import field_interpolation_tpu as fi
@@ -106,3 +108,43 @@ def test_api_md_symbols_resolve():
             if not ok:
                 failures.append(v)
     assert not failures, f"unresolvable api.md symbols: {sorted(set(failures))}"
+
+
+def _fences(path):
+    import ast
+    text = open(path).read()
+    out = []
+    for block in re.findall(r"```(?:python)?\n(.*?)```", text, re.S):
+        try:
+            ast.parse(block)
+        except SyntaxError:
+            continue  # shell lines / pseudocode fences
+        out.append(block)
+    return out
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("path", ["README.md", "docs/migration.md"])
+def test_doc_code_fences_execute(path):
+    """The documented snippets must actually run (with the illustrative
+    free variables — an oriented point cloud — provided)."""
+    import numpy as np
+    import jax.numpy as jnp
+    import field_interpolation_tpu as fi
+
+    rng = np.random.default_rng(0)
+    theta = rng.uniform(0, 2 * np.pi, 200)
+    nrm = np.stack([np.cos(theta), np.sin(theta)], 1).astype(np.float32)
+    pts = (127.5 + 80.0 * nrm + 0.2 * rng.standard_normal((200, 2))
+           ).astype(np.float32)
+    ns = {"np": np, "jnp": jnp, "fi": fi,
+          "points": jnp.asarray(pts), "normals": jnp.asarray(nrm),
+          "pts": jnp.asarray(pts), "nrm": jnp.asarray(nrm),
+          "grid": fi.Grid((256, 256)), "weights": fi.Weights(model_2=0.3)}
+    fences = _fences(path)
+    assert fences, f"no executable fences found in {path}"
+    for block in fences:
+        exec(compile(block, path, "exec"), ns)
+    info = ns.get("info")
+    if info is not None:
+        assert bool(info.converged)
