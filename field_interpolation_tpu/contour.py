@@ -134,13 +134,12 @@ def marching_tetrahedra(field: np.ndarray, level: float = 0.0) -> np.ndarray:
             else np.zeros((0, 3, 3)))
 
 
-def write_obj(path: str, triangles: np.ndarray,
-              weld_tol: float = 1e-5) -> tuple[int, int]:
-    """Write a triangle soup [n, 3, 3] (as produced by the marching-
-    tetrahedra extractors) to a Wavefront OBJ file, welding coincident
-    vertices (rounded to ``weld_tol``) so shared edges are truly shared —
-    the reference renders its surface in-GUI; this is the export path for
-    external viewers. Returns (num_vertices, num_triangles)."""
+def weld_triangles(triangles: np.ndarray,
+                   weld_tol: float = 1e-5) -> tuple[np.ndarray, np.ndarray]:
+    """Triangle soup [n, 3, 3] → indexed mesh ``(vertices [m, 3] float64,
+    faces [n, 3] int)``: coincident vertices (rounded to ``weld_tol``) are
+    welded so shared edges are truly shared. The in-memory counterpart of
+    ``write_obj`` for feeding renderers/mesh libraries directly."""
     tris = np.asarray(triangles, dtype=np.float64)
     if tris.ndim != 3 or tris.shape[1:] != (3, 3):
         raise ValueError(f"expected [n, 3, 3] triangles, got {tris.shape}")
@@ -149,8 +148,17 @@ def write_obj(path: str, triangles: np.ndarray,
     # representative coordinates: first occurrence of each welded vertex
     _, first, inv = np.unique(keys, axis=0, return_index=True,
                               return_inverse=True)
-    verts = flat[first]
-    faces = inv.reshape(-1, 3)
+    return flat[first], inv.reshape(-1, 3)
+
+
+def write_obj(path: str, triangles: np.ndarray,
+              weld_tol: float = 1e-5) -> tuple[int, int]:
+    """Write a triangle soup [n, 3, 3] (as produced by the marching-
+    tetrahedra extractors) to a Wavefront OBJ file, welding coincident
+    vertices (weld_triangles) so shared edges are truly shared — the
+    reference renders its surface in-GUI; this is the export path for
+    external viewers. Returns (num_vertices, num_triangles)."""
+    verts, faces = weld_triangles(triangles, weld_tol)
     with open(path, "w") as fh:
         fh.write("# field_interpolation_tpu iso-surface\n")
         for v in verts:

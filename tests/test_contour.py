@@ -443,3 +443,22 @@ def test_compact_extractor_vmaps():
         got = np.asarray(segs[b])[:int(counts[b])]
         assert got.shape[0] == want.shape[0]
         np.testing.assert_allclose(got, want, atol=2e-6)
+
+
+def test_weld_triangles_indexed_mesh():
+    """weld_triangles: indexed mesh equals the soup; welding is real."""
+    from field_interpolation_tpu.contour import (marching_tetrahedra,
+                                                 weld_triangles)
+
+    ii, jj, kk = np.mgrid[0:9, 0:9, 0:9]
+    f = np.sqrt((ii - 4.0) ** 2 + (jj - 4.0) ** 2 + (kk - 4.0) ** 2) - 3.0
+    tris = marching_tetrahedra(f)
+    verts, faces = weld_triangles(tris)
+    assert faces.shape == (len(tris), 3)
+    assert len(verts) < 3 * len(tris)          # shared vertices welded
+    assert len(np.unique(faces)) == len(verts)  # every vertex used
+    np.testing.assert_allclose(verts[faces], np.asarray(tris, np.float64),
+                               atol=1e-5)
+    import pytest
+    with pytest.raises(ValueError):
+        weld_triangles(np.zeros((3, 2)))
