@@ -506,3 +506,35 @@ class TestAutoCycle:
             prob, SolverConfig(preconditioner="multigrid", mg_cycle="v"))(r)
         np.testing.assert_allclose(np.asarray(za), np.asarray(zv),
                                    rtol=0, atol=0)
+
+
+def test_transfer_strided_equals_dense():
+    """The gather-free strided transfer evaluation is EXACTLY the banded/
+    dense resize map, for every production direction and the odd/even
+    hierarchy sizes (coarsen = (n+1)//2), plus the unused transposed-
+    prolongation direction via its documented gather fallback."""
+    import numpy as np
+    import jax.numpy as jnp
+    from field_interpolation_tpu import multigrid as mg
+
+    rng = np.random.default_rng(3)
+    for n in (256, 255, 96, 81, 17, 5):
+        nc = max(2, (n + 1) // 2)
+        for n_out, n_in, transpose in [(n, nc, False),   # prolong
+                                       (nc, n, True),    # restrict
+                                       (nc, n, False),   # direct resize down
+                                       (n, nc, True)]:   # fallback direction
+            for square in (False, True):
+                M = (mg._resize_matrix(n_out, n_in, square=square)
+                     if not transpose
+                     else mg._resize_matrix(n_in, n_out, square=square).T)
+                x = rng.standard_normal((n_in, 3)).astype(np.float32)
+                got = np.asarray(mg._apply_axis_resize(
+                    jnp.asarray(x), n_out, n_in, 0,
+                    transpose=transpose, square=square))
+                np.testing.assert_allclose(got, M @ x, atol=1e-5,
+                                           err_msg=f"{n_out}<-{n_in} "
+                                           f"T={transpose} sq={square}")
+    # production directions actually take the strided path (not fallback)
+    assert mg._strided_bands(256, 128, False, False) is not None
+    assert mg._strided_bands(128, 256, True, False) is not None
