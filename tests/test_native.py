@@ -109,3 +109,46 @@ def test_native_out_of_bounds_dropped(rng):
     neq.add_value_constraints(np.array([[5.0, 5.0], [-1.0, 5.0], [5.0, 99.0]]),
                               np.ones(3), np.ones(3))
     assert neq.num_rows == 1
+
+
+def test_randomized_native_matches_oracle(rng):
+    """Random-config sweep for the C++ engine, mirroring the JAX-vs-oracle
+    sweep in test_operator_vs_oracle: any convention drift between the
+    THREE implementations (SPEC.md contract) must surface in one of the
+    two pairwise sweeps."""
+    if not native.is_available():
+        import pytest
+        pytest.skip("native engine unavailable")
+    for trial in range(10):
+        D = int(rng.integers(1, 4))
+        shape = tuple(int(rng.integers(4, 9)) for _ in range(D))
+        grid = Grid(shape)
+        weights = Weights(
+            model_0=float(rng.uniform(0, 0.5)) * int(rng.integers(0, 2)),
+            model_1=float(rng.uniform(0, 1.0)) * int(rng.integers(0, 2)),
+            model_2=float(rng.uniform(0, 1.5)) * int(rng.integers(0, 2)),
+            model_3=float(rng.uniform(0, 0.5)) * int(rng.integers(0, 2)),
+            data_pos=float(rng.uniform(0.2, 2.0)),
+            data_gradient=float(rng.uniform(0.2, 2.0)),
+        )
+        n = int(rng.integers(4, 20))
+        pos = rng.uniform(-1.0, np.asarray(shape) + 0.5, size=(n, D))
+        vals = rng.standard_normal(n)
+        grads = rng.standard_normal((n, D)) if rng.integers(0, 2) else None
+        pw = (rng.uniform(0.5, 1.5, n) if rng.integers(0, 2)
+              else np.ones(n))
+
+        eq = assemble_explicit(grid, weights, pos, vals, grads, pw)
+        A_py, b_py = _explicit_matrix(eq, grid.num_nodes)
+
+        neq = native.NativeEquation(grid)
+        neq.add_field_constraints(weights)
+        neq.add_value_constraints(pos, vals, weights.data_pos * pw)
+        if grads is not None:
+            neq.add_gradient_constraints(pos, grads,
+                                         weights.data_gradient * pw)
+        A_n, b_n = _native_matrix(neq, grid.num_nodes)
+        np.testing.assert_allclose(A_n.T @ A_n, A_py.T @ A_py, atol=1e-9,
+                                   err_msg=f"trial {trial} {shape}")
+        np.testing.assert_allclose(A_n.T @ b_n, A_py.T @ b_py, atol=1e-9,
+                                   err_msg=f"trial {trial} {shape}")
