@@ -38,6 +38,34 @@ def assemble_sdf(
                     point_weights=point_weights)
 
 
+def _fmg_guess(grid: Grid, weights: Weights, positions, normals,
+               point_weights, config: SolverConfig) -> Optional[jax.Array]:
+    """Nested-iteration (FMG) initial guess: assemble + solve the SAME cloud
+    on the (n+1)//2-coarsened grid, prolong, rescale to fine lattice units.
+
+    Lab-measured iteration counts (NOTES_ROUND4 round-5 queue): at 256² the
+    guess cuts fine iterations 14 → 7 (coarse tol 1e-3) but coarse
+    iterations are latency-bound there and the extra coarse assembly eats
+    the win — use only at bandwidth-bound scales (1024²+: 9 → 5 fine at
+    ~0.25× per-coarse-iteration cost). Opt-in via ``fmg_start=True``.
+    """
+    cshape = tuple(max(2, (n + 1) // 2) for n in grid.shape)
+    if cshape == grid.shape:
+        return None
+    import numpy as np
+    cgrid = Grid(cshape)
+    scale = ((np.asarray(cshape, np.float64) - 1.0)
+             / (np.asarray(grid.shape, np.float64) - 1.0))
+    cpos = positions * jnp.asarray(scale, positions.dtype)
+    cprob = assemble_sdf(cgrid, weights, cpos, normals, point_weights)
+    ccfg = dataclasses.replace(config, tol=max(1e-3, config.tol),
+                               debug=False)
+    xc, _ = solve(cprob, ccfg)
+    from .multigrid import prolong
+    # SDF values are in lattice units: rescale by the spacing ratio.
+    return prolong(xc, grid.shape) * jnp.asarray(1.0 / scale.min(), xc.dtype)
+
+
 def sdf_from_points(
     grid: Grid,
     weights: Weights,
@@ -46,11 +74,16 @@ def sdf_from_points(
     point_weights: Optional[jax.Array] = None,
     config: SolverConfig = SolverConfig(),
     x0: Optional[jax.Array] = None,
+    fmg_start: bool = False,
 ) -> tuple[jax.Array, SolveInfo]:
     """Reconstruct a signed-distance field from an oriented point cloud.
 
     Returns (field [*grid.shape], SolveInfo). Warm start via ``x0`` supports
     the reference's interactive re-solve loop (SURVEY.md §3.2).
+    ``fmg_start=True`` (ignored when ``x0`` is given) computes a nested-
+    iteration initial guess from a half-resolution solve — worthwhile at
+    bandwidth-bound grid sizes, see _fmg_guess. Coarse-solve iterations are
+    NOT counted in the returned SolveInfo.
     ``config.debug=True`` runs the pipeline under checkify (NaN/bounds
     checks surface as exceptions — see debugging.py).
     """
@@ -58,6 +91,9 @@ def sdf_from_points(
         return _debug_pipeline(grid, weights, positions, normals=normals,
                                point_weights=point_weights, config=config,
                                x0=x0, sdf=True)
+    if fmg_start and x0 is None:
+        x0 = _fmg_guess(grid, weights, positions, normals, point_weights,
+                        config)
     problem = assemble_sdf(grid, weights, positions, normals, point_weights)
     return solve(problem, config, x0=x0)
 
@@ -290,11 +326,17 @@ def sdf_from_points_precise(
     point_weights: Optional[jax.Array] = None,
     config: SolverConfig = SolverConfig(),
     x0: Optional[jax.Array] = None,
+    fmg_start: bool = False,
 ) -> tuple[jax.Array, SolveInfo]:
     """SDF reconstruction to a TRUE ≤tol relative residual vs the float64
     normal equations (the honest `BASELINE.json:5` bar): f64 assembly + fp32
-    PCG inner solves + f64 iterative refinement."""
+    PCG inner solves + f64 iterative refinement. ``fmg_start`` as in
+    sdf_from_points (the guess feeds the refinement loop's warm-start
+    path, which pays one exact f64 residual at x0)."""
     from .solver import solve_refined
+    if fmg_start and x0 is None:
+        x0 = _fmg_guess(grid, weights, positions, normals, point_weights,
+                        config)
     zeros = jnp.zeros(positions.shape[0], dtype=jnp.float32)
     p64 = assemble_precise(grid, weights, positions, zeros, gradients=normals,
                            point_weights=point_weights)

@@ -624,3 +624,37 @@ def test_zero_smoothing_sweeps_backend_parity(rng):
     scale = float(jnp.max(jnp.abs(z_x)))
     np.testing.assert_allclose(np.asarray(z_p), np.asarray(z_x),
                                rtol=0, atol=1e-5 * max(scale, 1e-30))
+
+
+def test_fmg_start_cuts_fine_iterations(rng):
+    """Nested-iteration initial guess (fmg_start): same convergence bar,
+    fewer fine-level iterations than a zero start (lab: 14 -> 7 at 256²
+    with the default 1e-3 coarse tol; pinned looser here on a smaller
+    grid). Precise driver accepts it through the warm-start path."""
+    from field_interpolation_tpu.sdf import sdf_from_points, \
+        sdf_from_points_precise
+
+    grid = Grid((64, 64))
+    rng2 = np.random.default_rng(7)
+    theta = rng2.uniform(0, 2 * np.pi, 300)
+    nrm = np.stack([np.cos(theta), np.sin(theta)], 1).astype(np.float32)
+    pts = (31.5 + 20.0 * nrm + 0.2 * rng2.standard_normal((300, 2))
+           ).astype(np.float32)
+    cfg = SolverConfig(tol=1e-4, preconditioner="multigrid")
+    x_cold, cold = sdf_from_points(grid, Weights(model_2=0.3),
+                                   jnp.asarray(pts), jnp.asarray(nrm),
+                                   config=cfg)
+    x_fmg, fmg = sdf_from_points(grid, Weights(model_2=0.3),
+                                 jnp.asarray(pts), jnp.asarray(nrm),
+                                 config=cfg, fmg_start=True)
+    assert bool(fmg.converged)
+    assert int(fmg.iterations) < int(cold.iterations)
+    # same solution up to the solve tolerance
+    np.testing.assert_allclose(np.asarray(x_fmg), np.asarray(x_cold),
+                               atol=5e-2)
+
+    xp, infop = sdf_from_points_precise(grid, Weights(model_2=0.3),
+                                        jnp.asarray(pts), jnp.asarray(nrm),
+                                        config=SolverConfig(tol=1e-6),
+                                        fmg_start=True)
+    assert bool(infop.converged)
