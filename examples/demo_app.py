@@ -162,7 +162,10 @@ class App:
                 self.grid, self.weights(), jnp.asarray(pts), jnp.asarray(nrm),
                 config=cfg, x0=jnp.asarray(self.x0) if self.x0 is not None
                 else None)
-        x.block_until_ready()
+        # Scalar readback, not block_until_ready: the latter does NOT
+        # reliably sync through the axon dispatch tunnel (CLAUDE.md) and the
+        # frame-ms readout would silently report ~0 on the real chip.
+        float(jnp.sum(x))
         ms = (time.perf_counter() - t0) * 1e3
         self.x0 = np.asarray(x, np.float32)
         field = np.asarray(x, np.float64)

@@ -87,13 +87,16 @@ def sdf_from_points(
     ``config.debug=True`` runs the pipeline under checkify (NaN/bounds
     checks surface as exceptions — see debugging.py).
     """
+    # FMG guess BEFORE the debug dispatch so config.debug=True debugs the
+    # same pipeline production runs (the fine solve starting from the
+    # prolonged coarse solution), not a different zero-start problem.
+    if fmg_start and x0 is None:
+        x0 = _fmg_guess(grid, weights, positions, normals, point_weights,
+                        config)
     if config.debug:
         return _debug_pipeline(grid, weights, positions, normals=normals,
                                point_weights=point_weights, config=config,
                                x0=x0, sdf=True)
-    if fmg_start and x0 is None:
-        x0 = _fmg_guess(grid, weights, positions, normals, point_weights,
-                        config)
     problem = assemble_sdf(grid, weights, positions, normals, point_weights)
     return solve(problem, config, x0=x0)
 

@@ -27,14 +27,7 @@ SHAPE = (256, 256)
 N = 1000
 
 
-def make_circle_cloud(n, grid_shape, radius_frac=0.35, noise=0.2, seed=0):
-    rng = np.random.default_rng(seed)
-    center = (np.asarray(grid_shape, np.float64) - 1.0) / 2.0
-    radius = radius_frac * min(grid_shape)
-    theta = rng.uniform(0, 2 * np.pi, n)
-    normals = np.stack([np.cos(theta), np.sin(theta)], axis=1)
-    pts = center + radius * normals + noise * rng.standard_normal((n, 2))
-    return pts.astype(np.float32), normals.astype(np.float32)
+from _common import cloud as make_circle_cloud  # noqa: E402
 
 
 def main():

@@ -18,14 +18,10 @@ from field_interpolation_tpu.multigrid import build_fused_solver_operands
 from field_interpolation_tpu.ops.pallas_stencil import fused_pcg_solve
 
 
-def cloud(n, shape, seed=0):
-    rng = np.random.default_rng(seed)
-    c = (np.asarray(shape, np.float64) - 1) / 2
-    r = 0.35 * min(shape)
-    th = rng.uniform(0, 2 * np.pi, n)
-    nr = np.stack([np.cos(th), np.sin(th)], 1)
-    pts = c + r * nr + 0.2 * rng.standard_normal((n, 2))
-    return pts.astype(np.float32), nr.astype(np.float32)
+import os
+import sys
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from _common import cloud  # noqa: E402
 
 
 def main():
@@ -93,4 +89,5 @@ def main():
           f"{results[(True, None)] - full:.1f}us)")
 
 
-main()
+if __name__ == "__main__":
+    main()

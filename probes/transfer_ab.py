@@ -26,14 +26,7 @@ def force_gather(on: bool):
                          if on else _REAL_STRIDED_BANDS)
 
 
-def cloud(n, shape, seed=0):
-    rng = np.random.default_rng(seed)
-    c = (np.asarray(shape, np.float64) - 1) / 2
-    r = 0.35 * min(shape)
-    th = rng.uniform(0, 2 * np.pi, n)
-    nr = np.stack([np.cos(th), np.sin(th)], 1)
-    pts = c + r * nr + 0.2 * rng.standard_normal((n, 2))
-    return pts.astype(np.float32), nr.astype(np.float32)
+from _common import cloud  # noqa: E402 (N-D: fixes the 256^3 arm)
 
 
 def transfer_pair_ab(shape=(4096, 4096)):
