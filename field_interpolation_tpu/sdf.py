@@ -359,6 +359,27 @@ def assemble_interpolation(
                     point_weights=point_weights)
 
 
+def _fmg_guess_interp(grid: Grid, weights: Weights, positions, values,
+                      point_weights, config: SolverConfig):
+    """Value-interpolation FMG guess (no lattice-unit rescale — values are
+    values, unlike SDF distances). Lab iteration counts: 1024²@1e-4
+    cold=20 → fine=9-10 with 4-9 coarse iterations."""
+    cshape = tuple(max(2, (n + 1) // 2) for n in grid.shape)
+    if cshape == grid.shape:
+        return None
+    import numpy as np
+    scale = ((np.asarray(cshape, np.float64) - 1.0)
+             / (np.asarray(grid.shape, np.float64) - 1.0))
+    cpos = positions * jnp.asarray(scale, positions.dtype)
+    cprob = assemble_interpolation(Grid(cshape), weights, cpos, values,
+                                   point_weights)
+    ccfg = dataclasses.replace(config, tol=max(1e-3, config.tol),
+                               debug=False)
+    xc, _ = solve(cprob, ccfg)
+    from .multigrid import prolong
+    return prolong(xc, grid.shape)
+
+
 def interpolate(
     grid: Grid,
     weights: Weights,
@@ -367,9 +388,14 @@ def interpolate(
     point_weights: Optional[jax.Array] = None,
     config: SolverConfig = SolverConfig(),
     x0: Optional[jax.Array] = None,
+    fmg_start: bool = False,
 ) -> tuple[jax.Array, SolveInfo]:
     """Interpolate scattered values onto the lattice. Returns (field, info).
+    ``fmg_start`` as in sdf_from_points (nested-iteration initial guess).
     ``config.debug=True`` runs under checkify (see debugging.py)."""
+    if fmg_start and x0 is None:
+        x0 = _fmg_guess_interp(grid, weights, positions, values,
+                               point_weights, config)
     if config.debug:
         return _debug_pipeline(grid, weights, positions, values=values,
                                point_weights=point_weights, config=config,

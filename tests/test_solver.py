@@ -658,3 +658,23 @@ def test_fmg_start_cuts_fine_iterations(rng):
                                         config=SolverConfig(tol=1e-6),
                                         fmg_start=True)
     assert bool(infop.converged)
+
+
+def test_fmg_start_interpolate(rng):
+    """Value-interpolation fmg_start: fewer fine iterations, same field."""
+    from field_interpolation_tpu.sdf import interpolate
+
+    grid = Grid((64, 64))
+    rng2 = np.random.default_rng(5)
+    pos = rng2.uniform(1, 62, size=(200, 2)).astype(np.float32)
+    vals = np.sin(pos[:, 0] / 9.0).astype(np.float32)
+    cfg = SolverConfig(tol=1e-4, preconditioner="multigrid")
+    w = Weights(model_2=0.3)
+    x_cold, cold = interpolate(grid, w, jnp.asarray(pos), jnp.asarray(vals),
+                               config=cfg)
+    x_fmg, fmg = interpolate(grid, w, jnp.asarray(pos), jnp.asarray(vals),
+                             config=cfg, fmg_start=True)
+    assert bool(fmg.converged)
+    assert int(fmg.iterations) < int(cold.iterations)
+    np.testing.assert_allclose(np.asarray(x_fmg), np.asarray(x_cold),
+                               atol=5e-2)
