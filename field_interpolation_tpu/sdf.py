@@ -412,10 +412,15 @@ def interpolate_precise(
     point_weights: Optional[jax.Array] = None,
     config: SolverConfig = SolverConfig(),
     x0: Optional[jax.Array] = None,
+    fmg_start: bool = False,
 ) -> tuple[jax.Array, SolveInfo]:
     """Value-only interpolation to a TRUE ≤tol relative residual (the
-    mixed-precision counterpart of `interpolate`)."""
+    mixed-precision counterpart of `interpolate`). ``fmg_start`` as in
+    `interpolate` (feeds the refinement loop's warm-start path)."""
     from .solver import solve_refined
+    if fmg_start and x0 is None:
+        x0 = _fmg_guess_interp(grid, weights, positions, values,
+                               point_weights, config)
     pp = assemble_precise(grid, weights, positions, values,
                           point_weights=point_weights)
     return solve_refined(pp, config, x0=x0)
