@@ -678,3 +678,27 @@ def test_fmg_start_interpolate(rng):
     assert int(fmg.iterations) < int(cold.iterations)
     np.testing.assert_allclose(np.asarray(x_fmg), np.asarray(x_cold),
                                atol=5e-2)
+
+
+def test_headline_family_iteration_count_pinned(rng):
+    """Absolute iteration-count guard for the headline problem family
+    (circle-cloud SDF, production multigrid config): iteration counts are
+    backend-independent, so this is the perf-regression canary the
+    relative preconditioner tests can't provide (both arms of a relative
+    test can regress together). 128² measures 10-11 on the production
+    V-cycle; 13 leaves margin for cloud-seed variation, not for a
+    preconditioner regression (Jacobi takes 100+)."""
+    from field_interpolation_tpu.sdf import sdf_from_points
+
+    grid = Grid((128, 128))
+    rng2 = np.random.default_rng(0)
+    theta = rng2.uniform(0, 2 * np.pi, 500)
+    nrm = np.stack([np.cos(theta), np.sin(theta)], 1).astype(np.float32)
+    pts = (63.5 + 44.0 * nrm + 0.2 * rng2.standard_normal((500, 2))
+           ).astype(np.float32)
+    _, info = sdf_from_points(grid, Weights(model_2=0.3),
+                              jnp.asarray(pts), jnp.asarray(nrm),
+                              config=SolverConfig(tol=1e-4,
+                                                  preconditioner="multigrid"))
+    assert bool(info.converged)
+    assert int(info.iterations) <= 13, int(info.iterations)
