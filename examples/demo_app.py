@@ -156,12 +156,12 @@ class App:
         if a.precise:
             x, info = fi.sdf_from_points_precise(
                 self.grid, self.weights(), jnp.asarray(pts), jnp.asarray(nrm),
-                config=cfg, x0=self.x0)
+                config=cfg, x0=self.x0, fmg_start=a.fmg)
         else:
             x, info = fi.sdf_from_points(
                 self.grid, self.weights(), jnp.asarray(pts), jnp.asarray(nrm),
                 config=cfg, x0=jnp.asarray(self.x0) if self.x0 is not None
-                else None)
+                else None, fmg_start=a.fmg)
         # Scalar readback, not block_until_ready: the latter does NOT
         # reliably sync through the axon dispatch tunnel (CLAUDE.md) and the
         # frame-ms readout would silently report ~0 on the real chip.
@@ -298,6 +298,9 @@ def main():
     ap.add_argument("--precond", default="multigrid",
                     choices=("none", "jacobi", "multigrid"))
     ap.add_argument("--maxiter", type=int, default=2000)
+    ap.add_argument("--fmg", action="store_true",
+                    help="nested-iteration initial guess on cold frames "
+                         "(fmg_start; worthwhile at bandwidth-bound sizes)")
     ap.add_argument("--precise", action="store_true",
                     help="mixed-precision solve to a TRUE <= tol residual")
     ap.add_argument("--debug", action="store_true",
