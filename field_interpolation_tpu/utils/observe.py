@@ -140,6 +140,90 @@ def measure_marginal(step, init, counts: tuple[int, int] = (32, 160)):
     return per, {"times_s": times, "counts": (K1, K2), "final_carry": final}
 
 
+# Per-chip MXU peak (TFLOP/s, bf16 systolic peak — fp32 work runs at a
+# fraction of this; treat flop-side estimates as optimistic lower bounds).
+PEAK_TFLOPS = {"v5e": 197.0, "v5p": 459.0, "v4": 275.0}
+
+
+@dataclasses.dataclass(frozen=True)
+class PhaseCost:
+    """Static XLA cost-model attribution for one compiled computation."""
+
+    name: str
+    flops: float
+    bytes_accessed: float
+    transcendentals: float
+    temp_bytes: int            # scratch the executable allocates
+    est_ms_bw: float           # bytes_accessed / HBM bandwidth
+    est_ms_flops: float        # flops / MXU peak
+    est_ms: float              # roofline lower bound: max of the two
+
+    @property
+    def arithmetic_intensity(self) -> float:
+        return self.flops / self.bytes_accessed if self.bytes_accessed else 0.0
+
+
+def xla_cost(fn, *example_args, name: str = "", chip: str = "v5e") -> PhaseCost:
+    """Static per-phase attribution from XLA's compiled cost model — the
+    tunnel-free complement to `measure_marginal`: `jax.profiler` HANGS
+    through the axon remote-TPU tunnel (NOTES_ROUND3/4), but
+    ``jit(fn).lower(args).compile().cost_analysis()`` needs no device trace
+    at all, so phase-level flops/bytes decompositions work on any backend,
+    any time. Estimates use the `chip` roofline constants; counts come from
+    the CURRENT default backend's compilation (fusion choices differ across
+    backends — treat cross-backend byte counts as approximate).
+
+    fn: jit-traceable callable (already-jitted is fine).
+    Returns a PhaseCost; `est_ms` is the roofline LOWER bound
+    max(bytes/BW, flops/peak) — measured time above it is latency/overhead.
+    """
+    import jax
+
+    compiled = jax.jit(fn).lower(*example_args).compile()
+    ca = compiled.cost_analysis()
+    if isinstance(ca, (list, tuple)):       # older jax: one dict per executable
+        ca = ca[0] if ca else {}
+    flops = float(ca.get("flops", 0.0))
+    byts = float(ca.get("bytes accessed", 0.0))
+    trans = float(ca.get("transcendentals", 0.0))
+    try:
+        temp = int(compiled.memory_analysis().temp_size_in_bytes)
+    except Exception:                        # pragma: no cover - backend quirk
+        temp = 0
+    bw = HBM_GBPS.get(chip, HBM_GBPS["v5e"]) * 1e9
+    pk = PEAK_TFLOPS.get(chip, PEAK_TFLOPS["v5e"]) * 1e12
+    ms_bw = byts / bw * 1e3
+    ms_fl = flops / pk * 1e3
+    return PhaseCost(name=name, flops=flops, bytes_accessed=byts,
+                     transcendentals=trans, temp_bytes=temp,
+                     est_ms_bw=ms_bw, est_ms_flops=ms_fl,
+                     est_ms=max(ms_bw, ms_fl))
+
+
+def cost_table(costs) -> str:
+    """Fixed-width table of PhaseCosts (+ a TOTAL row) for human reading."""
+    rows = list(costs)
+    total = PhaseCost(
+        name="TOTAL",
+        flops=sum(c.flops for c in rows),
+        bytes_accessed=sum(c.bytes_accessed for c in rows),
+        transcendentals=sum(c.transcendentals for c in rows),
+        temp_bytes=max((c.temp_bytes for c in rows), default=0),
+        est_ms_bw=sum(c.est_ms_bw for c in rows),
+        est_ms_flops=sum(c.est_ms_flops for c in rows),
+        est_ms=sum(c.est_ms for c in rows),
+    )
+    hdr = (f"{'phase':<28} {'GFLOP':>9} {'MB moved':>10} "
+           f"{'AI':>7} {'est ms (roofline)':>18}")
+    lines = [hdr, "-" * len(hdr)]
+    for c in rows + [total]:
+        lines.append(
+            f"{c.name:<28} {c.flops / 1e9:>9.3f} "
+            f"{c.bytes_accessed / 1e6:>10.3f} "
+            f"{c.arithmetic_intensity:>7.2f} {c.est_ms:>18.4f}")
+    return "\n".join(lines)
+
+
 def record_solve(grid: Grid, info, wall_ms: float, *,
                  preconditioner: str = "jacobi", solver: str = "pcg",
                  chip: str = "v5e", stream: Optional[TextIO] = None,
