@@ -33,9 +33,10 @@ def _dense_coarsest_ok(grid: Grid, config: SolverConfig, B: int) -> bool:
     from .multigrid import level_shapes
     shapes = level_shapes(grid.shape, config.mg_min_size,
                           config.mg_coarse_solver)
-    if not shapes:
-        return False
-    n_c = math.prod(shapes[-1])
+    # Empty hierarchy: the FINE grid is the coarsest level (the
+    # preconditioner is its exact dense inverse — see
+    # multigrid.make_vcycle_preconditioner's degenerate-hierarchy path).
+    n_c = math.prod(shapes[-1] if shapes else grid.shape)
     return B * n_c * n_c * 4 <= 768 * 1024 * 1024
 
 

@@ -24,6 +24,7 @@ is built at trace time from the static grid shape (SURVEY.md §7 hard-part #4).
 from __future__ import annotations
 
 import dataclasses
+import math
 from typing import Callable
 
 import jax
@@ -386,7 +387,6 @@ def _smoothness_dense_matrix(shape: tuple[int, ...], weights: Weights) -> np.nda
     ``S_const + diag(data_diag)`` instead of ``n_c`` traced operator applies
     per problem (the applies were a measurable per-field setup cost when
     solves are pipelined over distinct problems)."""
-    import math
     n = math.prod(shape)
     S = np.zeros((n, n))
     for order in weights.active_orders():
@@ -420,7 +420,6 @@ def _dense_data_matrix(data_coeff: jax.Array, shape: tuple[int, ...]
     the entries that would wrap across a row/plane boundary are exactly the
     (zero) out-of-grid coefficients, so eye-diagonal placement is exact —
     no scatter (flat ~0.35 ms/scatter on this backend, CLAUDE.md)."""
-    import math
     from .constraints import offset_list
     ndim = len(shape)
     n = math.prod(shape)
@@ -481,7 +480,6 @@ def level_shapes(fine_shape: tuple[int, ...],
     """Shapes of the coarse hierarchy below ``fine_shape`` (shape-only view
     of build_levels — lets callers size the coarsest level without a
     Problem, e.g. batch.solve_batch's dense-coarsest memory gate)."""
-    import math
     shapes = []
     shape = fine_shape
 
@@ -631,7 +629,6 @@ def build_fused_solver_operands(problem: Problem, config: SolverConfig):
     levels = build_levels(problem, config)
     if not levels:
         return None
-    import math
     if math.prod(levels[-1].shape) > 4096:
         return None
     if not all(fits_vmem(l.shape) for l in levels):
@@ -679,6 +676,30 @@ def make_vcycle_preconditioner(problem: Problem, config: SolverConfig,
     levels = build_levels(problem, config)
     nu = config.mg_pre_smooth
     ndim = problem.grid.ndim
+
+    if (not levels and config.mg_coarse_solver == "dense"
+            and math.prod(problem.grid.shape) <= 4096):
+        # Degenerate hierarchy: the grid is already at/below the coarsening
+        # floor, so the whole problem IS the coarsest level — solve it
+        # exactly with the dense inverse of the FINE operator (full data
+        # stencil, not lumped). Mathematically the perfect preconditioner
+        # (PCG converges in O(1) iterations); it also sidesteps a
+        # pathological XLA CPU compile of the previous fallback (32
+        # unrolled composite-conv smoothing sweeps measured a 250 s
+        # compile at 2² — hit by deep fmg_start recursion). The "jacobi"
+        # coarse solver keeps the smoothing fallback below.
+        from .constraints import data_diag as _data_diag
+        lvl0 = _Level(shape=problem.grid.shape, weights=problem.weights,
+                      data_diag=_data_diag(problem.coeff, ndim),
+                      diag=problem.diag, data_coeff=problem.coeff)
+        inv0 = _coarse_dense_inverse(lvl0)
+
+        def dense_pc(r):
+            z = jnp.dot(inv0, r.ravel(),
+                        precision=jax.lax.Precision.HIGHEST,
+                        preferred_element_type=r.dtype)
+            return z.reshape(r.shape)
+        return dense_pc
 
     # Fine-level operator for smoothing + restricted residual: exact, or
     # diagonally-lumped data term (see SolverConfig.mg_fine_operator). Auto
@@ -868,7 +889,6 @@ def make_vcycle_preconditioner(problem: Problem, config: SolverConfig,
     coarse_dense = None
     if config.mg_coarse_solver == "dense" and levels:
         lvl = levels[-1]
-        import math
         if math.prod(lvl.shape) <= 4096:
             coarse_dense = _coarse_dense_inverse(lvl)
 

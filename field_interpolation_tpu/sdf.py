@@ -39,7 +39,8 @@ def assemble_sdf(
 
 
 def _fmg_guess(grid: Grid, weights: Weights, positions, normals,
-               point_weights, config: SolverConfig) -> Optional[jax.Array]:
+               point_weights, config: SolverConfig,
+               depth: int = 1) -> Optional[jax.Array]:
     """Nested-iteration (FMG) initial guess: assemble + solve the SAME cloud
     on the (n+1)//2-coarsened grid, prolong, rescale to fine lattice units.
 
@@ -48,6 +49,13 @@ def _fmg_guess(grid: Grid, weights: Weights, positions, normals,
     iterations are latency-bound there and the extra coarse assembly eats
     the win — use only at bandwidth-bound scales (1024²+: 9 → 5 fine at
     ~0.25× per-coarse-iteration cost). Opt-in via ``fmg_start=True``.
+
+    ``depth > 1`` recurses (classic full-FMG nested iteration): the coarse
+    solve itself starts from a 2×-coarser guess, which cuts the COARSE
+    iteration bill while leaving the fine count unchanged (the guess
+    converges to the same coarse tolerance either way). Worthwhile only
+    while the child level is still bandwidth-bound — each extra level adds
+    its own assembly + latency-bound solve floor.
     """
     cshape = tuple(max(2, (n + 1) // 2) for n in grid.shape)
     if cshape == grid.shape:
@@ -60,7 +68,11 @@ def _fmg_guess(grid: Grid, weights: Weights, positions, normals,
     cprob = assemble_sdf(cgrid, weights, cpos, normals, point_weights)
     ccfg = dataclasses.replace(config, tol=max(1e-3, config.tol),
                                debug=False)
-    xc, _ = solve(cprob, ccfg)
+    cx0 = None
+    if depth > 1:
+        cx0 = _fmg_guess(cgrid, weights, cpos, normals, point_weights,
+                         config, depth - 1)
+    xc, _ = solve(cprob, ccfg, x0=cx0)
     from .multigrid import prolong
     # SDF values are in lattice units: rescale by the spacing ratio.
     return prolong(xc, grid.shape) * jnp.asarray(1.0 / scale.min(), xc.dtype)
@@ -74,7 +86,7 @@ def sdf_from_points(
     point_weights: Optional[jax.Array] = None,
     config: SolverConfig = SolverConfig(),
     x0: Optional[jax.Array] = None,
-    fmg_start: bool = False,
+    fmg_start: bool | int = False,
 ) -> tuple[jax.Array, SolveInfo]:
     """Reconstruct a signed-distance field from an oriented point cloud.
 
@@ -82,7 +94,8 @@ def sdf_from_points(
     the reference's interactive re-solve loop (SURVEY.md §3.2).
     ``fmg_start=True`` (ignored when ``x0`` is given) computes a nested-
     iteration initial guess from a half-resolution solve — worthwhile at
-    bandwidth-bound grid sizes, see _fmg_guess. Coarse-solve iterations are
+    bandwidth-bound grid sizes; an int value recurses that many levels
+    (classic full-FMG nested iteration), see _fmg_guess. Coarse-solve iterations are
     NOT counted in the returned SolveInfo.
     ``config.debug=True`` runs the pipeline under checkify (NaN/bounds
     checks surface as exceptions — see debugging.py).
@@ -92,7 +105,7 @@ def sdf_from_points(
     # prolonged coarse solution), not a different zero-start problem.
     if fmg_start and x0 is None:
         x0 = _fmg_guess(grid, weights, positions, normals, point_weights,
-                        config)
+                        config, depth=int(fmg_start))
     if config.debug:
         return _debug_pipeline(grid, weights, positions, normals=normals,
                                point_weights=point_weights, config=config,
@@ -329,7 +342,7 @@ def sdf_from_points_precise(
     point_weights: Optional[jax.Array] = None,
     config: SolverConfig = SolverConfig(),
     x0: Optional[jax.Array] = None,
-    fmg_start: bool = False,
+    fmg_start: bool | int = False,
 ) -> tuple[jax.Array, SolveInfo]:
     """SDF reconstruction to a TRUE ≤tol relative residual vs the float64
     normal equations (the honest `BASELINE.json:5` bar): f64 assembly + fp32
@@ -339,7 +352,7 @@ def sdf_from_points_precise(
     from .solver import solve_refined
     if fmg_start and x0 is None:
         x0 = _fmg_guess(grid, weights, positions, normals, point_weights,
-                        config)
+                        config, depth=int(fmg_start))
     zeros = jnp.zeros(positions.shape[0], dtype=jnp.float32)
     p64 = assemble_precise(grid, weights, positions, zeros, gradients=normals,
                            point_weights=point_weights)
@@ -360,22 +373,28 @@ def assemble_interpolation(
 
 
 def _fmg_guess_interp(grid: Grid, weights: Weights, positions, values,
-                      point_weights, config: SolverConfig):
+                      point_weights, config: SolverConfig, depth: int = 1):
     """Value-interpolation FMG guess (no lattice-unit rescale — values are
     values, unlike SDF distances). Lab iteration counts: 1024²@1e-4
-    cold=20 → fine=9-10 with 4-9 coarse iterations."""
+    cold=20 → fine=9-10 with 4-9 coarse iterations. ``depth`` recurses as
+    in _fmg_guess."""
     cshape = tuple(max(2, (n + 1) // 2) for n in grid.shape)
     if cshape == grid.shape:
         return None
     import numpy as np
+    cgrid = Grid(cshape)
     scale = ((np.asarray(cshape, np.float64) - 1.0)
              / (np.asarray(grid.shape, np.float64) - 1.0))
     cpos = positions * jnp.asarray(scale, positions.dtype)
-    cprob = assemble_interpolation(Grid(cshape), weights, cpos, values,
+    cprob = assemble_interpolation(cgrid, weights, cpos, values,
                                    point_weights)
     ccfg = dataclasses.replace(config, tol=max(1e-3, config.tol),
                                debug=False)
-    xc, _ = solve(cprob, ccfg)
+    cx0 = None
+    if depth > 1:
+        cx0 = _fmg_guess_interp(cgrid, weights, cpos, values, point_weights,
+                                config, depth - 1)
+    xc, _ = solve(cprob, ccfg, x0=cx0)
     from .multigrid import prolong
     return prolong(xc, grid.shape)
 
@@ -388,14 +407,14 @@ def interpolate(
     point_weights: Optional[jax.Array] = None,
     config: SolverConfig = SolverConfig(),
     x0: Optional[jax.Array] = None,
-    fmg_start: bool = False,
+    fmg_start: bool | int = False,
 ) -> tuple[jax.Array, SolveInfo]:
     """Interpolate scattered values onto the lattice. Returns (field, info).
     ``fmg_start`` as in sdf_from_points (nested-iteration initial guess).
     ``config.debug=True`` runs under checkify (see debugging.py)."""
     if fmg_start and x0 is None:
         x0 = _fmg_guess_interp(grid, weights, positions, values,
-                               point_weights, config)
+                               point_weights, config, depth=int(fmg_start))
     if config.debug:
         return _debug_pipeline(grid, weights, positions, values=values,
                                point_weights=point_weights, config=config,
@@ -412,7 +431,7 @@ def interpolate_precise(
     point_weights: Optional[jax.Array] = None,
     config: SolverConfig = SolverConfig(),
     x0: Optional[jax.Array] = None,
-    fmg_start: bool = False,
+    fmg_start: bool | int = False,
 ) -> tuple[jax.Array, SolveInfo]:
     """Value-only interpolation to a TRUE ≤tol relative residual (the
     mixed-precision counterpart of `interpolate`). ``fmg_start`` as in
@@ -420,7 +439,7 @@ def interpolate_precise(
     from .solver import solve_refined
     if fmg_start and x0 is None:
         x0 = _fmg_guess_interp(grid, weights, positions, values,
-                               point_weights, config)
+                               point_weights, config, depth=int(fmg_start))
     pp = assemble_precise(grid, weights, positions, values,
                           point_weights=point_weights)
     return solve_refined(pp, config, x0=x0)

@@ -17,7 +17,9 @@ def ab(shape, npts, tol=1e-4):
     cfg = fi.SolverConfig(tol=tol, preconditioner="multigrid", maxiter=2000)
     pts, nrm = cloud(npts, shape)
     p, n = jnp.asarray(pts), jnp.asarray(nrm)
-    for arm in (False, True, False):  # ABA: zero / fmg / zero
+    # ABA plus recursion depths: zero / fmg / full-FMG depth 2 and 3
+    # (the recursion cuts the COARSE iteration bill; fine count unchanged)
+    for arm in (False, True, 2, 3, False):
 
         @jax.jit
         def run(p, n):

@@ -538,3 +538,45 @@ def test_transfer_strided_equals_dense():
     # production directions actually take the strided path (not fallback)
     assert mg._strided_bands(256, 128, False, False) is not None
     assert mg._strided_bands(128, 256, True, False) is not None
+
+
+def test_degenerate_hierarchy_dense_fine_inverse():
+    """Grids at/below the coarsening floor build an EMPTY level hierarchy;
+    the multigrid preconditioner must then be the exact dense inverse of
+    the FINE operator — PCG converges in O(1) iterations — rather than the
+    old 32-sweep smoothing fallback (which at 2² triggered a pathological
+    ~250 s XLA-CPU compile, hit by deep fmg_start recursion)."""
+    import numpy as np
+    import jax.numpy as jnp
+    from field_interpolation_tpu import Grid, SolverConfig, Weights, solve
+    from field_interpolation_tpu import multigrid as mg
+    from field_interpolation_tpu.sdf import assemble_sdf
+
+    rng = np.random.default_rng(7)
+    theta = rng.uniform(0, 2 * np.pi, 64)
+    nrm = np.stack([np.cos(theta), np.sin(theta)], 1).astype(np.float32)
+    for n in (16, 5):
+        c = (n - 1) / 2.0
+        pts = (c + 0.62 * c * nrm).astype(np.float32)
+        grid = Grid((n, n))
+        prob = assemble_sdf(grid, Weights(model_2=0.3), jnp.asarray(pts),
+                            jnp.asarray(nrm))
+        assert mg.build_levels(prob, SolverConfig()) == []
+        cfg = SolverConfig(tol=1e-4, preconditioner="multigrid")
+        x, info = solve(prob, cfg)
+        assert bool(info.converged)
+        assert int(info.iterations) <= 2          # exact-inverse preconditioner
+        # the real contract: TRUE relative residual of the returned field
+        # (field-vs-field comparisons are meaningless here — the weakly
+        # constrained far field makes the operator near-singular, so two
+        # converged solves can differ by O(0.1) while both satisfy tol)
+        r = prob.b - prob.apply(x)
+        rel = float(jnp.linalg.norm(r) / jnp.linalg.norm(prob.b))
+        assert rel <= 2e-4
+        # the explicit iterative-coarsest escape hatch still works
+        cfg_j = SolverConfig(tol=1e-4, preconditioner="multigrid",
+                             mg_coarse_solver="jacobi")
+        xj, infoj = solve(prob, cfg_j)
+        assert bool(infoj.converged)
+        rj = prob.b - prob.apply(xj)
+        assert float(jnp.linalg.norm(rj) / jnp.linalg.norm(prob.b)) <= 2e-4

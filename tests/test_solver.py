@@ -660,6 +660,56 @@ def test_fmg_start_cuts_fine_iterations(rng):
     assert bool(infop.converged)
 
 
+def test_fmg_start_recursive_depth(rng):
+    """fmg_start=<int> recurses the nested iteration (classic full-FMG):
+    the coarse solve itself starts from a 2x-coarser guess. Same
+    convergence bar and field as depth 1; the fine-level cut vs a cold
+    start is preserved; a huge depth bottoms out at the 2-node floor
+    without error. The coarse-level iteration saving itself is measured
+    level-wise (the recursion exists to cut the COARSE bill at
+    bandwidth-bound scales, NOTES_ROUND4 round-5 queue)."""
+    from field_interpolation_tpu.sdf import _fmg_guess, sdf_from_points
+
+    grid = Grid((64, 64))
+    rng2 = np.random.default_rng(7)
+    theta = rng2.uniform(0, 2 * np.pi, 300)
+    nrm = np.stack([np.cos(theta), np.sin(theta)], 1).astype(np.float32)
+    pts = (31.5 + 20.0 * nrm + 0.2 * rng2.standard_normal((300, 2))
+           ).astype(np.float32)
+    w = Weights(model_2=0.3)
+    cfg = SolverConfig(tol=1e-4, preconditioner="multigrid")
+    x_cold, cold = sdf_from_points(grid, w, jnp.asarray(pts),
+                                   jnp.asarray(nrm), config=cfg)
+    for depth in (2, 99):
+        x_d, info_d = sdf_from_points(grid, w, jnp.asarray(pts),
+                                      jnp.asarray(nrm), config=cfg,
+                                      fmg_start=depth)
+        assert bool(info_d.converged)
+        assert int(info_d.iterations) < int(cold.iterations)
+        # tol=1e-4 solves from different starts agree only to the solve
+        # tolerance; far-field |SDF| here is ~9 lattice units
+        np.testing.assert_allclose(np.asarray(x_d), np.asarray(x_cold),
+                                   atol=1e-1)
+
+    # the recursion really warm-starts the COARSE solve: solving the
+    # 32² child problem from the depth-1 guess takes fewer iterations
+    # than from zero (counted directly at the child level)
+    import dataclasses as dc
+
+    from field_interpolation_tpu.sdf import assemble_sdf
+    cshape = tuple((n + 1) // 2 for n in grid.shape)
+    scale = (np.asarray(cshape, np.float64) - 1) / (np.asarray(grid.shape,
+                                                               np.float64) - 1)
+    cgrid = Grid(cshape)
+    cpos = jnp.asarray(pts * scale.astype(np.float32))
+    ccfg = dc.replace(cfg, tol=1e-3)
+    cprob = assemble_sdf(cgrid, w, cpos, jnp.asarray(nrm))
+    _, c_cold = solve(cprob, ccfg)
+    cx0 = _fmg_guess(cgrid, w, cpos, jnp.asarray(nrm), None, cfg, depth=1)
+    _, c_warm = solve(cprob, ccfg, x0=cx0)
+    assert int(c_warm.iterations) < int(c_cold.iterations)
+
+
 def test_fmg_start_interpolate(rng):
     """Value-interpolation fmg_start: fewer fine iterations, same field."""
     from field_interpolation_tpu.sdf import interpolate
