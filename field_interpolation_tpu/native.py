@@ -72,6 +72,10 @@ def _load() -> Optional[ctypes.CDLL]:
                                        _i64, _pf64, _pf64, ctypes.c_void_p,
                                        _f64, _i64, _pf64]
     lib.fi_sdf_from_points.restype = _i64
+    lib.fi_solve_approximate_lattice.argtypes = [
+        ctypes.c_int, _pi64, _pf64, _f64, _f64, _i64, _pf64, _pf64,
+        ctypes.c_void_p, ctypes.c_void_p, _i64, _f64, _i64, _pf64]
+    lib.fi_solve_approximate_lattice.restype = _i64
     _lib = lib
     return _lib
 
@@ -186,4 +190,49 @@ def sdf_from_points_native(
                                     pwp, tol, maxiter, x))
     if it < 0:
         raise RuntimeError("native CG did not converge")
+    return x.reshape(grid.shape), it
+
+
+def solve_approximate_lattice_native(
+    grid: Grid,
+    weights: Weights,
+    positions: np.ndarray,
+    values: np.ndarray,
+    gradients: Optional[np.ndarray] = None,
+    point_weights: Optional[np.ndarray] = None,
+    downscale: int = 2,
+    tol: float = 1e-10,
+    maxiter: int = 100000,
+) -> tuple[np.ndarray, int]:
+    """Native approximate coarse-lattice solve (reference C9 —
+    `solve_sparse_linear_approximate_lattice`): assemble + solve the same
+    constraint set on the downscaled lattice, multilinearly upsample.
+    Conventions match the Python oracle (explicit.py) exactly; the result
+    is usable directly or as an `x0` warm start for the full solve.
+    Returns (field [*grid.shape] in COARSE-lattice value units, coarse CG
+    iterations)."""
+    lib = _load()
+    if lib is None:
+        raise RuntimeError("native library unavailable")
+    sizes = np.asarray(grid.shape, dtype=np.int64)
+    mw = np.asarray([weights.model_0, weights.model_1, weights.model_2,
+                     weights.model_3], dtype=np.float64)
+    pos = np.ascontiguousarray(positions, dtype=np.float64)
+    vals = np.ascontiguousarray(values, dtype=np.float64)
+    if gradients is not None:
+        grad = np.ascontiguousarray(gradients, dtype=np.float64)
+        gp = grad.ctypes.data_as(ctypes.c_void_p)
+    else:
+        gp = None
+    if point_weights is not None:
+        pw = np.ascontiguousarray(point_weights, dtype=np.float64)
+        pwp = pw.ctypes.data_as(ctypes.c_void_p)
+    else:
+        pwp = None
+    x = np.empty(grid.num_nodes, np.float64)
+    it = int(lib.fi_solve_approximate_lattice(
+        grid.ndim, sizes, mw, weights.data_pos, weights.data_gradient,
+        len(pos), pos, vals, gp, pwp, downscale, tol, maxiter, x))
+    if it < 0:
+        raise RuntimeError("native coarse CG did not converge")
     return x.reshape(grid.shape), it

@@ -366,4 +366,90 @@ int64_t fi_sdf_from_points(int ndim, const int64_t* sizes,
   return pcg_solve(ata, atb, tol, maxiter, x, nullptr);
 }
 
+// Reference C9 (solve_sparse_linear_approximate_lattice, SURVEY.md §3.5):
+// assemble + solve the SAME constraint set on a downscaled lattice, then
+// multilinearly upsample. Conventions identical to the Python oracle
+// (explicit.py): coarse sizes max(2, (n-1)/downscale + 1), positions scaled
+// per axis by (cn-1)/(fn-1), per-unit-length gradient targets divided by
+// that scale, NO value rescale of the upsampled field (SDF callers rescale
+// by the spacing ratio themselves). Returns coarse-solve iterations, or -1.
+int64_t fi_solve_approximate_lattice(
+    int ndim, const int64_t* sizes, const double* model_weights,
+    double data_pos, double data_gradient, int64_t n,
+    const double* positions, const double* values, const double* gradients,
+    const double* point_weights, int64_t downscale, double tol,
+    int64_t maxiter, double* x) {
+  int64_t csizes[3];
+  double scale[3];
+  for (int d = 0; d < ndim; ++d) {
+    csizes[d] = std::max<int64_t>(2, (sizes[d] - 1) / downscale + 1);
+    scale[d] = static_cast<double>(csizes[d] - 1)
+               / static_cast<double>(sizes[d] - 1);
+  }
+  Equation eq;
+  GridInfo g(ndim, csizes);
+  field_constraints(&eq, g, model_weights);
+  std::vector<double> cpos(n * ndim), cgrad;
+  for (int64_t i = 0; i < n; ++i) {
+    for (int d = 0; d < ndim; ++d) {
+      cpos[i * ndim + d] = positions[i * ndim + d] * scale[d];
+    }
+  }
+  if (gradients) {
+    cgrad.resize(n * ndim);
+    for (int64_t i = 0; i < n; ++i) {
+      for (int d = 0; d < ndim; ++d) {
+        cgrad[i * ndim + d] = gradients[i * ndim + d] / scale[d];
+      }
+    }
+  }
+  for (int64_t i = 0; i < n; ++i) {
+    const double pw = point_weights ? point_weights[i] : 1.0;
+    value_constraint(&eq, g, cpos.data() + i * ndim, values[i],
+                     data_pos * pw);
+    if (gradients) {
+      gradient_constraint(&eq, g, cpos.data() + i * ndim,
+                          cgrad.data() + i * ndim, data_gradient * pw);
+    }
+  }
+  Csr ata;
+  std::vector<double> atb;
+  normal_equations(eq, g.num_nodes(), &ata, &atb);
+  std::vector<double> xc(g.num_nodes());
+  const int64_t it = pcg_solve(ata, atb, tol, maxiter, xc.data(), nullptr);
+  if (it < 0) return -1;
+  // Separable endpoint-aligned multilinear upsample, one axis at a time
+  // (same map as explicit._multilinear_resize).
+  int64_t dims[3];
+  for (int d = 0; d < ndim; ++d) dims[d] = csizes[d];
+  for (int ax = 0; ax < ndim; ++ax) {
+    const int64_t n_in = dims[ax];
+    const int64_t n_out = sizes[ax];
+    if (n_in == n_out) continue;
+    int64_t inner = 1, outer = 1;
+    for (int d = ax + 1; d < ndim; ++d) inner *= dims[d];
+    for (int d = 0; d < ax; ++d) outer *= dims[d];
+    std::vector<double> out(outer * n_out * inner);
+    for (int64_t r = 0; r < n_out; ++r) {
+      const double src = static_cast<double>(r)
+                         * static_cast<double>(n_in - 1)
+                         / static_cast<double>(n_out - 1);
+      int64_t lo = static_cast<int64_t>(std::floor(src));
+      lo = std::min(std::max<int64_t>(lo, 0), n_in - 2);
+      const double t = src - static_cast<double>(lo);
+      for (int64_t o = 0; o < outer; ++o) {
+        for (int64_t i = 0; i < inner; ++i) {
+          out[(o * n_out + r) * inner + i] =
+              (1.0 - t) * xc[(o * n_in + lo) * inner + i]
+              + t * xc[(o * n_in + lo + 1) * inner + i];
+        }
+      }
+    }
+    xc = std::move(out);
+    dims[ax] = n_out;
+  }
+  std::memcpy(x, xc.data(), xc.size() * sizeof(double));
+  return it;
+}
+
 }  // extern "C"

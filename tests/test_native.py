@@ -152,3 +152,36 @@ def test_randomized_native_matches_oracle(rng):
                                    err_msg=f"trial {trial} {shape}")
         np.testing.assert_allclose(A_n.T @ b_n, A_py.T @ b_py, atol=1e-9,
                                    err_msg=f"trial {trial} {shape}")
+
+
+def test_native_approximate_lattice_matches_oracle(rng):
+    """Reference C9 in the C++ engine: the native approximate coarse-lattice
+    solve equals the Python oracle (explicit.solve_sparse_linear_
+    approximate_lattice) — same coarse assembly conventions (position
+    scaling, per-unit-length gradient rescale), same endpoint-aligned
+    multilinear upsample. 2D and 3D, with and without gradients."""
+    if not native.is_available():
+        import pytest
+        pytest.skip("native engine unavailable")
+    from field_interpolation_tpu.explicit import (
+        solve_sparse_linear_approximate_lattice)
+    from field_interpolation_tpu.native import solve_approximate_lattice_native
+
+    for shape, downscale in [((17, 13), 2), ((9, 8, 7), 2), ((21, 21), 4)]:
+        D = len(shape)
+        grid = Grid(shape)
+        weights = Weights(model_2=0.3, data_pos=1.0, data_gradient=0.7)
+        n = 25
+        pos = rng.uniform(0.0, np.asarray(shape) - 1.001, size=(n, D))
+        vals = rng.standard_normal(n)
+        for grads in (None, rng.standard_normal((n, D))):
+            x_py = solve_sparse_linear_approximate_lattice(
+                grid, weights, pos, vals, grads, downscale=downscale
+            ).reshape(shape)
+            x_n, it = solve_approximate_lattice_native(
+                grid, weights, pos, vals, grads, downscale=downscale,
+                tol=1e-12)
+            assert it >= 0
+            scale = max(1.0, float(np.max(np.abs(x_py))))
+            np.testing.assert_allclose(x_n, x_py, atol=2e-6 * scale,
+                                       err_msg=f"{shape} grads={grads is not None}")
