@@ -298,9 +298,11 @@ def main():
     ap.add_argument("--precond", default="multigrid",
                     choices=("none", "jacobi", "multigrid"))
     ap.add_argument("--maxiter", type=int, default=2000)
-    ap.add_argument("--fmg", action="store_true",
+    ap.add_argument("--fmg", nargs="?", const=1, default=0, type=int,
                     help="nested-iteration initial guess on cold frames "
-                         "(fmg_start; worthwhile at bandwidth-bound sizes)")
+                         "(fmg_start; worthwhile at bandwidth-bound sizes). "
+                         "Optional int = recursion depth (full-FMG): "
+                         "--fmg 2 warm-starts the coarse solve too")
     ap.add_argument("--precise", action="store_true",
                     help="mixed-precision solve to a TRUE <= tol residual")
     ap.add_argument("--debug", action="store_true",
