@@ -251,6 +251,8 @@ def scatter_corners_exact(grid: Grid, corner_idx: jax.Array,
     few hi/lo scatters (measured ~0.35 → ~0.05 ms at 256²/1k samples).
     """
     n_addends = values64.shape[0] * values64.shape[1]
+    if n_addends == 0:           # empty cloud: nothing to scatter
+        return jnp.zeros(grid.shape, jnp.float64)
     # Per-pass bit budget: node sums of ≤ n_addends integers of 2^b stay
     # below 2^23. Degenerate budgets (≥ 2^22 addends — tiny grids with huge
     # sample counts can pass the use_matmul_scatter flop gate) fall back to

@@ -752,3 +752,38 @@ def test_headline_family_iteration_count_pinned(rng):
                                                   preconditioner="multigrid"))
     assert bool(info.converged)
     assert int(info.iterations) <= 13, int(info.iterations)
+
+
+def test_empty_and_single_point_clouds(rng):
+    """n=0 and n=1 sample clouds run end-to-end on every driver tier
+    (the exact integer-grid scatter crashed on n=0 via log2(0) before the
+    guard; reference behavior is a pure-smoothness solve — zero field)."""
+    from field_interpolation_tpu.batch import sdf_from_points_batch
+    from field_interpolation_tpu.sdf import (interpolate_precise,
+                                             sdf_from_points,
+                                             sdf_from_points_precise)
+
+    g = Grid((24, 24))
+    w = Weights(model_2=0.3)
+    p0 = jnp.zeros((0, 2), jnp.float32)
+    n0 = jnp.zeros((0, 2), jnp.float32)
+    cfg4 = SolverConfig(tol=1e-4)
+    x, info = sdf_from_points(g, w, p0, n0, config=cfg4)
+    assert bool(info.converged) and float(jnp.abs(x).max()) == 0.0
+    x, info = sdf_from_points_precise(g, w, p0, n0,
+                                      config=SolverConfig(tol=1e-6))
+    assert bool(info.converged) and float(jnp.abs(x).max()) == 0.0
+    x, info = interpolate_precise(g, w, p0, jnp.zeros((0,), jnp.float32),
+                                  config=SolverConfig(tol=1e-6))
+    assert bool(info.converged) and float(jnp.abs(x).max()) == 0.0
+
+    p1 = jnp.asarray([[11.5, 11.5]], jnp.float32)
+    n1 = jnp.asarray([[1.0, 0.0]], jnp.float32)
+    x, info = sdf_from_points(g, w, p1, n1, config=cfg4)
+    assert bool(info.converged) and np.isfinite(np.asarray(x)).all()
+
+    xb, infob = sdf_from_points_batch(g, w, jnp.zeros((3, 0, 2), jnp.float32),
+                                      jnp.zeros((3, 0, 2), jnp.float32),
+                                      config=cfg4)
+    assert xb.shape == (3, 24, 24)
+    assert bool(np.all(np.asarray(infob.converged)))
