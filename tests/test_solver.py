@@ -787,3 +787,48 @@ def test_empty_and_single_point_clouds(rng):
                                       config=cfg4)
     assert xb.shape == (3, 24, 24)
     assert bool(np.all(np.asarray(infob.converged)))
+
+
+@pytest.mark.slow
+def test_refined_randomized_oracle_sweep(rng):
+    """Randomized honest-tier sweep: solve_refined must reach a TRUE <= 1e-6
+    relative residual measured in float64 against the explicitly assembled
+    oracle system, across random dims (1-3), grid shapes, weight mixes,
+    OOB samples, gradients, and per-point weights — the refined-tier
+    counterpart of the native-vs-oracle randomized sweep (SPEC.md's
+    three-implementation contract applied to the precision protocol)."""
+    from field_interpolation_tpu import assemble_precise, solve_refined
+
+    sweep = np.random.default_rng(11)
+    for trial in range(6):
+        D = int(sweep.integers(1, 4))
+        shape = tuple(int(sweep.integers(8, 21 if D < 3 else 13))
+                      for _ in range(D))
+        grid = Grid(shape)
+        weights = Weights(
+            model_0=float(sweep.uniform(0, 0.2)) * int(sweep.integers(0, 2)),
+            model_1=float(sweep.uniform(0, 0.6)) * int(sweep.integers(0, 2)),
+            model_2=float(sweep.uniform(0.1, 1.0)),
+            data_pos=float(sweep.uniform(0.3, 2.0)),
+            data_gradient=float(sweep.uniform(0.3, 2.0)),
+        )
+        n = int(sweep.integers(10, 40))
+        pos = sweep.uniform(-0.5, np.asarray(shape) - 0.6, size=(n, D))
+        vals = sweep.standard_normal(n)
+        grads = (sweep.standard_normal((n, D))
+                 if sweep.integers(0, 2) else None)
+        pw = (sweep.uniform(0.5, 1.5, n).astype(np.float64)
+              if sweep.integers(0, 2) else None)
+
+        pp = assemble_precise(grid, weights, pos, vals, gradients=grads,
+                              point_weights=pw)
+        cfg = SolverConfig(tol=1e-6, preconditioner="multigrid",
+                           maxiter=20000)
+        x, info = solve_refined(pp, cfg)
+        assert bool(info.converged), (trial, shape, float(info.rel_residual))
+
+        eq = assemble_explicit(grid, weights, pos, vals, grads, pw)
+        AtA, Atb = normal_equations(eq, grid.num_nodes)
+        r = Atb - AtA @ np.asarray(x, np.float64).ravel()
+        rel = np.linalg.norm(r) / np.linalg.norm(Atb)
+        assert rel <= 1e-6, (trial, shape, rel)
