@@ -25,12 +25,14 @@ from field_interpolation_tpu.weights import SolverConfig, Weights
 
 
 def cloud(n, shape, seed=0):
+    """Noisy circle/sphere cloud in any dimension."""
     rng = np.random.default_rng(seed)
+    D = len(shape)
     c = (np.asarray(shape, np.float64) - 1) / 2
     r = 0.35 * min(shape)
-    th = rng.uniform(0, 2 * np.pi, n)
-    nr = np.stack([np.cos(th), np.sin(th)], 1)
-    pts = c + r * nr + 0.2 * rng.standard_normal((n, 2))
+    nr = rng.standard_normal((n, D))
+    nr /= np.linalg.norm(nr, axis=1, keepdims=True)
+    pts = c + r * nr + 0.2 * rng.standard_normal((n, D))
     return pts.astype(np.float32), nr.astype(np.float32)
 
 
@@ -63,14 +65,20 @@ def run(shape, npts, tol):
 
     for depth in (0, 1, 2, 3):
         _, counts = solve_level(shape, depth, 1e-3)
-        # bandwidth-bound cost model: level l costs 4^-l fine-iteration units
-        total = sum(it * 0.25 ** (len(counts) - 1 - i)
+        # bandwidth-bound cost model: a level-l iteration costs 2^-(D*l)
+        # fine-iteration units (2D: 4^-l, 3D: 8^-l)
+        f = 0.5 ** len(shape)
+        total = sum(it * f ** (len(counts) - 1 - i)
                     for i, it in enumerate(c[1] for c in counts))
-        chain = " <- ".join(f"{s[0]}²:{it}" for (s, it) in
+        chain = " <- ".join(f"{'x'.join(map(str, s))}:{it}" for (s, it) in
                             [(c[0], c[1]) for c in counts][::-1])
         print(f"{shape} @{tol:g} depth={depth}: {chain}   "
               f"weighted-total={total:.1f} fine-equivalents", flush=True)
 
 
 if __name__ == "__main__":
-    run((1024, 1024), 10_000, 1e-4)
+    import sys
+    if "--3d" in sys.argv:
+        run((128, 128, 128), 4_000, 1e-4)
+    else:
+        run((1024, 1024), 10_000, 1e-4)
