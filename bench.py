@@ -16,6 +16,7 @@ values > 1 mean faster than target.
 """
 
 import json
+import os
 import sys
 import time
 
@@ -205,6 +206,10 @@ def secondary_configs(log):
     # Config 5 proxy: the multi-chip sharded configs need hardware this rig
     # lacks (dryrun_multichip validates the sharded path on virtual devices);
     # as a single-chip large-grid proxy, solve 4096² with the striped kernel.
+    # FI_BENCH_FMG=<depth> turns on the nested-iteration initial guess for
+    # every config-5 line (flip after probes/fmg_ab.py confirms on-chip;
+    # CPU-lab predictions: ~25% at 4096², ~20% at 256³ — NOTES_ROUND4).
+    fmg = int(os.environ.get("FI_BENCH_FMG", "0"))
     grid5 = fi.Grid((4096, 4096))
     n5 = 100_000
     theta = rng.uniform(0, 2 * np.pi, n5)
@@ -214,9 +219,9 @@ def secondary_configs(log):
                            backend="auto", maxiter=500)
     for _ in range(2):
         t0 = time.perf_counter()
-        p5 = fi.assemble_sdf(grid5, fi.Weights(model_2=0.3),
-                             jnp.asarray(pts5), jnp.asarray(nrm5))
-        x5, info5 = fi.solve(p5, cfg5)
+        x5, info5 = fi.sdf_from_points(grid5, fi.Weights(model_2=0.3),
+                                       jnp.asarray(pts5), jnp.asarray(nrm5),
+                                       config=cfg5, fmg_start=fmg)
         float(jnp.sum(x5))
         t5 = (time.perf_counter() - t0) * 1e3
     log(f"[config 5 proxy] single-chip 4096² SDF ({n5} pts, striped Pallas + "
@@ -235,7 +240,7 @@ def secondary_configs(log):
         t0 = time.perf_counter()
         x5p, info5p = fi.sdf_from_points_precise(
             grid5, fi.Weights(model_2=0.3), jnp.asarray(pts5),
-            jnp.asarray(nrm5), config=cfg5p)
+            jnp.asarray(nrm5), config=cfg5p, fmg_start=fmg)
         float(jnp.sum(x5p.astype(jnp.float32)))
         t5p = (time.perf_counter() - t0) * 1e3
     log(f"[config 5 proxy @1e-6] 4096² SDF to TRUE 1e-6: {t5p:.0f} ms "
@@ -257,7 +262,7 @@ def secondary_configs(log):
         x53, info53 = fi.sdf_from_points(grid53, fi.Weights(model_2=0.3),
                                          jnp.asarray(pts53),
                                          jnp.asarray(u3.astype(np.float32)),
-                                         config=cfg53)
+                                         config=cfg53, fmg_start=fmg)
         float(jnp.sum(x53))
         t53 = (time.perf_counter() - t0) * 1e3
     log(f"[config 5 proxy 3D] 256³ SDF ({m3} pts, two-axis striped Pallas + "
@@ -277,7 +282,8 @@ def secondary_configs(log):
         t0 = time.perf_counter()
         x53p, info53p = fi.sdf_from_points_precise(
             grid53, fi.Weights(model_2=0.3), jnp.asarray(pts53),
-            jnp.asarray(u3.astype(np.float32)), config=cfg53p)
+            jnp.asarray(u3.astype(np.float32)), config=cfg53p,
+            fmg_start=fmg)
         float(jnp.sum(x53p.astype(jnp.float32)))
         t53p = (time.perf_counter() - t0) * 1e3
     log(f"[config 5 proxy 3D @1e-6] 256³ SDF to TRUE 1e-6: {t53p:.0f} ms "
