@@ -163,7 +163,6 @@ def _pcg_fused(ops, b: jax.Array, x0: Optional[jax.Array], *, tol, maxiter,
         return fused_normal_apply(v, coeffs[0], weights, 2,
                                   interpret=interpret)
 
-    x = jnp.zeros_like(b) if x0 is None else x0
     b_norm2 = _dot(b, b)
     tol2 = tol * tol * jnp.maximum(b_norm2, jnp.finfo(b.dtype).tiny)
     tol2_s = jnp.reshape(tol2.astype(jnp.float32), (1, 1))
@@ -184,7 +183,10 @@ def _pcg_fused(ops, b: jax.Array, x0: Optional[jax.Array], *, tol, maxiter,
         r = b - apply_f(x)  # verify the recurrence exit (see pcg)
         return x, r, k_new, segments + 1, iters[0, 0] > 0
 
-    r0 = b - apply_f(x)
+    if x0 is None:
+        x, r0 = jnp.zeros_like(b), b  # r(0) = b exactly: skip one apply
+    else:
+        x, r0 = x0, b - apply_f(x0)
     x, r, k, _, _ = lax.while_loop(
         outer_cond, outer_body,
         (x, r0, jnp.int32(0), jnp.int32(0), jnp.bool_(True)))
