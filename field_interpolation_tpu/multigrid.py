@@ -438,15 +438,30 @@ def _dense_data_matrix(data_coeff: jax.Array, shape: tuple[int, ...]
 def _coarse_dense_inverse(lvl: "_Level") -> jax.Array:
     """Exact symmetric inverse of the coarsest operator: host-constant
     smoothness matrix + the per-problem data term (lumped diagonal, or the
-    full Galerkin stencil densified via eye-diagonals)."""
+    full Galerkin stencil densified via eye-diagonals).
+
+    The operator is SPD, so the inverse is formed as L⁻ᵀL⁻¹ from a Cholesky
+    factor + one blocked triangular solve — no pivot search, and exactly
+    symmetric PSD by construction (no 0.5·(X+Xᵀ) repair needed). Measured
+    0.069 ms vs 0.156 ms for jnp.linalg.inv (LU, latency-bound) at n=256 on
+    v5e (probes/inv_refine_ab.py) — this is per-PROBLEM setup cost on the
+    refined-headline path, so the 2.3× matters."""
     S = jnp.asarray(_smoothness_dense_matrix(lvl.shape, lvl.weights),
                     lvl.diag.dtype)
     if lvl.data_coeff is not None:
         A_c = S + _dense_data_matrix(lvl.data_coeff, lvl.shape)
     else:
         A_c = S + jnp.diag(lvl.data_diag.ravel())
-    inv = jnp.linalg.inv(A_c)
-    return 0.5 * (inv + inv.T)  # exact symmetry for CG
+    L = jnp.linalg.cholesky(A_c)
+    Linv = jax.lax.linalg.triangular_solve(
+        L, jnp.eye(A_c.shape[0], dtype=A_c.dtype), left_side=True, lower=True)
+    # (L Lᵀ)⁻¹ = L⁻ᵀ L⁻¹ — symmetric in exact arithmetic, but XLA's matmul
+    # does not evaluate the (i,j)/(j,i) pairs identically (measured 1.5e-5
+    # gap on CPU), so keep the exact-symmetry repair: CG needs a symmetric
+    # preconditioner. HIGHEST: the TPU default would run this bf16
+    # (CLAUDE.md preconditioner-matmul invariant).
+    inv = jnp.matmul(Linv.T, Linv, precision=jax.lax.Precision.HIGHEST)
+    return 0.5 * (inv + inv.T)
 
 
 @dataclasses.dataclass(frozen=True)
