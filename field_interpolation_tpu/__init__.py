@@ -11,8 +11,9 @@ matrix-free normal-equations PCG on TPU (`BASELINE.json:5`).
 from .grid import Grid, grid_2d, grid_3d
 from .weights import SolverConfig, Weights
 from .operators import Problem, assemble
-from .solver import SolveInfo, pcg, solve, solve_refined
+from .solver import SolveInfo, pcg, prepare, solve, solve_refined
 from .diff import solve_implicit
+from .session import Solver
 from .sdf import (
     PreciseProblem,
     assemble_interpolation,
@@ -38,7 +39,9 @@ __all__ = [
     "assemble",
     "SolveInfo",
     "pcg",
+    "prepare",
     "solve",
+    "Solver",
     "solve_refined",
     "solve_implicit",
     "assemble_sdf",

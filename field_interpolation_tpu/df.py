@@ -28,8 +28,9 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-# Dekker splitter for binary32: 2^ceil(24/2) + 1.
-_SPLIT = jnp.float32((1 << 12) + 1)
+# Dekker splitter for binary32: 2^ceil(24/2) + 1 (python float, NOT a
+# module-level jnp constant — see _split).
+_SPLIT = float((1 << 12) + 1)
 
 
 class DF(NamedTuple):
@@ -56,7 +57,7 @@ def _fast_two_sum(a, b):
 
 def _split(a):
     """Dekker split: a == hi + lo with hi, lo having ≤12 significand bits."""
-    t = _SPLIT * a
+    t = jnp.float32(_SPLIT) * a
     hi = t - (t - a)
     return hi, a - hi
 
@@ -149,6 +150,40 @@ def df_sum(a: DF) -> DF:
         cur = df_add(DF(cur.hi[:m], cur.lo[:m]),
                      DF(cur.hi[m:], cur.lo[m:]))
     return DF(cur.hi[0], cur.lo[0])
+
+
+def df_mul_split(ah, al, bh, bl) -> DF:
+    """Elementwise product of two EXACTLY-split f64 values a = ah + al,
+    b = bh + bl (both parts fp32): TwoProd of the his + all three cross
+    terms. Error ≤ ~2⁻⁴⁸ relative — the only rounding is in the fp32 cross
+    products and the compensated accumulation, an order 2⁻²⁴ below each
+    term's own magnitude."""
+    p, e = _two_prod(ah, bh)
+    e = e + (ah * bl + al * bh + al * bl)
+    return DF(*_fast_two_sum(p, e))
+
+
+def df_sum_axis(a: DF, axis: int) -> DF:
+    """Compensated sum of a DF array along ONE (small, static) axis: a
+    python chain of df_adds — fully vectorized over the remaining axes, so
+    XLA fuses the whole chain into one elementwise kernel. Error
+    ~len·2⁻⁴⁸ relative; meant for the tiny corner/row axes (C = 2^D ≤ 8,
+    R = 1+D ≤ 4) where a tree buys nothing."""
+    hi = jnp.moveaxis(a.hi, axis, 0)
+    lo = jnp.moveaxis(a.lo, axis, 0)
+    acc = DF(hi[0], lo[0])
+    for k in range(1, hi.shape[0]):
+        acc = df_add(acc, DF(hi[k], lo[k]))
+    return acc
+
+
+def df_split_f64(x) -> tuple[jax.Array, jax.Array]:
+    """EXACT hi/lo fp32 split of a float64 array (requires x64 at trace
+    time): x == hi + lo with hi = fl32(x). The split itself is error-free;
+    only |lo| ≤ ulp32(hi)/2 is dropped by consumers that ignore it."""
+    hi = x.astype(jnp.float32)
+    lo = (x - hi.astype(jnp.float64)).astype(jnp.float32)
+    return hi, lo
 
 
 def df_dot(a: DF, b: DF) -> DF:

@@ -441,10 +441,12 @@ def _coarse_dense_inverse(lvl: "_Level") -> jax.Array:
     full Galerkin stencil densified via eye-diagonals).
 
     The operator is SPD, so the inverse is formed as L⁻ᵀL⁻¹ from a Cholesky
-    factor + one blocked triangular solve — no pivot search, and exactly
-    symmetric PSD by construction (no 0.5·(X+Xᵀ) repair needed). Measured
-    0.069 ms vs 0.156 ms for jnp.linalg.inv (LU, latency-bound) at n=256 on
-    v5e (probes/inv_refine_ab.py) — this is per-PROBLEM setup cost on the
+    factor + one blocked triangular solve — no pivot search. Symmetric in
+    exact arithmetic, but XLA's matmul is not bitwise symmetric (measured
+    1.5e-5 (i,j)/(j,i) gap), so the 0.5·(X+Xᵀ) repair is RETAINED — CG needs
+    an exactly symmetric preconditioner. Measured 0.069 ms vs 0.156 ms for
+    jnp.linalg.inv (LU, latency-bound) at n=256 on v5e
+    (probes/inv_refine_ab.py) — this is per-PROBLEM setup cost on the
     refined-headline path, so the 2.3× matters."""
     S = jnp.asarray(_smoothness_dense_matrix(lvl.shape, lvl.weights),
                     lvl.diag.dtype)
@@ -452,9 +454,16 @@ def _coarse_dense_inverse(lvl: "_Level") -> jax.Array:
         A_c = S + _dense_data_matrix(lvl.data_coeff, lvl.shape)
     else:
         A_c = S + jnp.diag(lvl.data_diag.ravel())
-    L = jnp.linalg.cholesky(A_c)
-    Linv = jax.lax.linalg.triangular_solve(
-        L, jnp.eye(A_c.shape[0], dtype=A_c.dtype), left_side=True, lower=True)
+    # float32 matmul precision for the whole factorization: cholesky and
+    # triangular_solve use matmuls INTERNALLY whose TPU default is bf16
+    # passes — a less accurate coarse inverse stays SPD (CG still converges)
+    # but silently costs extra iterations, and the suite never runs on the
+    # TPU backend to catch it (ADVICE r4).
+    with jax.default_matmul_precision("float32"):
+        L = jnp.linalg.cholesky(A_c)
+        Linv = jax.lax.linalg.triangular_solve(
+            L, jnp.eye(A_c.shape[0], dtype=A_c.dtype), left_side=True,
+            lower=True)
     # (L Lᵀ)⁻¹ = L⁻ᵀ L⁻¹ — symmetric in exact arithmetic, but XLA's matmul
     # does not evaluate the (i,j)/(j,i) pairs identically (measured 1.5e-5
     # gap on CPU), so keep the exact-symmetry repair: CG needs a symmetric
@@ -464,14 +473,17 @@ def _coarse_dense_inverse(lvl: "_Level") -> jax.Array:
     return 0.5 * (inv + inv.T)
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class _Level:
-    """One multigrid level (host-side setup object, captured as constants)."""
+    """One multigrid level (setup object, captured as constants — or, as a
+    registered pytree, carried inside a prepared-setup MGPrep across the jit
+    boundary so repeated solves skip the hierarchy build)."""
 
-    shape: tuple[int, ...]
-    weights: Weights          # energy-rescaled smoothness weights
     data_diag: jax.Array      # diagonal of the data term [*shape]
     diag: jax.Array           # diag of this level's operator [*shape]
+    shape: tuple[int, ...] = dataclasses.field(metadata=dict(static=True))
+    weights: Weights = dataclasses.field(metadata=dict(static=True))
     # Full 3^D-channel Galerkin data stencil (mg_coarse_data="galerkin");
     # None = diagonally-lumped data term (data_diag).
     data_coeff: jax.Array | None = None
@@ -628,10 +640,92 @@ def _fused_vcycle_operands(problem, levels, taus, fine_inv_diag, inv_diags,
     return coeffs, sids, Rs, inv32, lw, cfs
 
 
-def build_fused_solver_operands(problem: Problem, config: SolverConfig):
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class MGPrep:
+    """Reusable multigrid setup, computed ONCE by ``solver.prepare`` and
+    passed back into repeated solves (the reference GUI's interactive
+    re-solve loop, SURVEY.md §3.2 / VERDICT r4 weak #4): the level
+    hierarchy, Gershgorin smoothing steps, dense-coarsest factor, and the
+    fused-kernel operands — together ~0.2 ms of per-solve setup at 256²
+    (probes/headline_slices.py) that repeated solves with fixed positions
+    and weights need not re-pay. A registered pytree: arrays cross the jit
+    boundary as inputs; ``shape``/``weights``/``sig`` are static metadata
+    so a stale prep (different geometry, weights, or MG config) fails the
+    trace-time compatibility check in solver.solve instead of silently
+    corrupting the preconditioner."""
+
+    levels: tuple             # of _Level (pytree)
+    fine_ddiag: jax.Array
+    taus: tuple               # per-level damped-Jacobi steps (scalars)
+    rhos: tuple               # per-level Gershgorin bounds (scalars)
+    coarse_dense: jax.Array | None
+    fused: tuple | None       # (coeffs, sids, Rs, inv32, cfs) arrays
+    lump: bool = dataclasses.field(metadata=dict(static=True))
+    shape: tuple = dataclasses.field(metadata=dict(static=True))
+    weights: Weights = dataclasses.field(metadata=dict(static=True))
+    sig: tuple = dataclasses.field(metadata=dict(static=True))
+
+
+def setup_signature(config: SolverConfig) -> tuple:
+    """The SolverConfig subset a prepared setup depends on — tol/maxiter &
+    co. may vary freely between solves sharing one MGPrep; these may not."""
+    return (config.preconditioner, config.backend, config.mg_pre_smooth,
+            config.mg_post_smooth, config.mg_smoother, config.mg_cheb_ratio,
+            config.mg_coarse_data, config.mg_coarse_solver,
+            config.mg_coarse_iters, config.mg_omega,
+            config.mg_fine_operator, config.mg_min_size)
+
+
+def prepare_mg(problem: Problem, config: SolverConfig,
+               want_fused: bool = True) -> MGPrep:
+    """Build the reusable setup (see MGPrep). Trace inside jit — the caller
+    (solver.prepare) wraps this so the hierarchy/factorization run as one
+    compiled graph instead of per-op dispatches through the TPU tunnel."""
+    levels = build_levels(problem, config)
+    lump, fine_ddiag, taus, rhos = build_smoothing_setup(problem, levels,
+                                                         config)
+    coarse_dense = None
+    if config.mg_coarse_solver == "dense":
+        if levels and math.prod(levels[-1].shape) <= 4096:
+            coarse_dense = _coarse_dense_inverse(levels[-1])
+        elif not levels and math.prod(problem.grid.shape) <= 4096:
+            # Degenerate hierarchy (grid at/below the coarsening floor):
+            # the reusable piece is the dense inverse of the FINE operator.
+            from .constraints import data_diag as _data_diag
+            lvl0 = _Level(shape=problem.grid.shape, weights=problem.weights,
+                          data_diag=_data_diag(problem.coeff,
+                                               problem.grid.ndim),
+                          diag=problem.diag, data_coeff=problem.coeff)
+            coarse_dense = _coarse_dense_inverse(lvl0)
+    fused = None
+    if want_fused:
+        ops = build_fused_solver_operands(problem, config)
+        if ops is not None:
+            coeffs, sids, Rs, inv32, _lw, cfs = ops
+            fused = (tuple(coeffs), tuple(sids), tuple(Rs), inv32,
+                     None if cfs is None else tuple(cfs))
+    return MGPrep(levels=tuple(levels), fine_ddiag=fine_ddiag,
+                  taus=tuple(taus), rhos=tuple(rhos),
+                  coarse_dense=coarse_dense, fused=fused, lump=lump,
+                  shape=problem.grid.shape, weights=problem.weights,
+                  sig=setup_signature(config))
+
+
+def build_fused_solver_operands(problem: Problem, config: SolverConfig,
+                                prep: MGPrep | None = None):
     """Setup for the fully-fused 2D PCG path (solver._pcg_fused): the
     same level operands as the fused V-cycle, or None when the problem shape
-    or config rules the fused path out."""
+    or config rules the fused path out. ``prep`` (an MGPrep from the same
+    problem/config) short-circuits the build — the operands then enter the
+    caller's jit as INPUTS rather than recomputed graph."""
+    if prep is not None:
+        if prep.fused is None:
+            return None
+        coeffs, sids, Rs, inv32, cfs = prep.fused
+        lw = [problem.weights] + [l.weights for l in prep.levels]
+        return (list(coeffs), list(sids), list(Rs), inv32, lw,
+                None if cfs is None else list(cfs))
     if (problem.grid.ndim != 2
             or config.preconditioner != "multigrid"
             or config.mg_coarse_solver != "dense"
@@ -681,14 +775,19 @@ def resolve_wdepth(config: SolverConfig, fine_shape: tuple[int, ...]) -> int:
 
 def make_vcycle_preconditioner(problem: Problem, config: SolverConfig,
                                apply_fn=None, pallas_smooth=False,
-                               pallas_interpret=False):
+                               pallas_interpret=False,
+                               prep: MGPrep | None = None):
     """Returns z = M⁻¹ r — one symmetric V-cycle on the normal operator.
 
     ``apply_fn`` overrides the fine-level operator apply (e.g. the fused
     Pallas kernel). ``pallas_smooth`` runs each level's ν Jacobi sweeps as a
     single VMEM-resident fused kernel (ops.pallas_stencil.fused_smooth) —
-    the dominant launch-overhead cost of the V-cycle at bench sizes."""
-    levels = build_levels(problem, config)
+    the dominant launch-overhead cost of the V-cycle at bench sizes.
+    ``prep`` (an MGPrep built by prepare_mg for the SAME problem/config)
+    supplies the hierarchy/damping/coarse factor as jit INPUTS instead of
+    recomputed graph — the reusable-setup path for repeated solves."""
+    levels = list(prep.levels) if prep is not None else build_levels(problem,
+                                                                     config)
     nu = config.mg_pre_smooth
     ndim = problem.grid.ndim
 
@@ -703,11 +802,14 @@ def make_vcycle_preconditioner(problem: Problem, config: SolverConfig,
         # unrolled composite-conv smoothing sweeps measured a 250 s
         # compile at 2² — hit by deep fmg_start recursion). The "jacobi"
         # coarse solver keeps the smoothing fallback below.
-        from .constraints import data_diag as _data_diag
-        lvl0 = _Level(shape=problem.grid.shape, weights=problem.weights,
-                      data_diag=_data_diag(problem.coeff, ndim),
-                      diag=problem.diag, data_coeff=problem.coeff)
-        inv0 = _coarse_dense_inverse(lvl0)
+        if prep is not None and prep.coarse_dense is not None:
+            inv0 = prep.coarse_dense
+        else:
+            from .constraints import data_diag as _data_diag
+            lvl0 = _Level(shape=problem.grid.shape, weights=problem.weights,
+                          data_diag=_data_diag(problem.coeff, ndim),
+                          diag=problem.diag, data_coeff=problem.coeff)
+            inv0 = _coarse_dense_inverse(lvl0)
 
         def dense_pc(r):
             z = jnp.dot(inv0, r.ravel(),
@@ -731,8 +833,12 @@ def make_vcycle_preconditioner(problem: Problem, config: SolverConfig,
     # fixed τ=0.8 blows up. build_smoothing_setup auto-scales each level's
     # damping so τ·ρ ≤ 2·mg_omega (< 2) from closed-form row-abs sums, and
     # is SHARED with the fused and sharded paths.
-    lump, fine_ddiag, taus, rhos = build_smoothing_setup(problem, levels,
-                                                          config)
+    if prep is not None:
+        lump, fine_ddiag = prep.lump, prep.fine_ddiag
+        taus, rhos = list(prep.taus), list(prep.rhos)
+    else:
+        lump, fine_ddiag, taus, rhos = build_smoothing_setup(problem, levels,
+                                                             config)
     if lump:
         def fine_apply(x):
             return (stencils.smoothness_apply(x, problem.weights, ndim)
@@ -905,7 +1011,8 @@ def make_vcycle_preconditioner(problem: Problem, config: SolverConfig,
     if config.mg_coarse_solver == "dense" and levels:
         lvl = levels[-1]
         if math.prod(lvl.shape) <= 4096:
-            coarse_dense = _coarse_dense_inverse(lvl)
+            coarse_dense = (prep.coarse_dense if prep is not None
+                            else _coarse_dense_inverse(lvl))
 
     # Whole-V-cycle Pallas kernel (2D, VMEM-fit, dense coarsest, symmetric
     # smoothing): replaces ~40 small XLA ops per preconditioner application
@@ -914,8 +1021,12 @@ def make_vcycle_preconditioner(problem: Problem, config: SolverConfig,
     if (pallas_smooth and ndim == 2 and coarse_dense is not None
             and smoothers is not None and all(s is not None for s in smoothers)
             and config.mg_pre_smooth == config.mg_post_smooth):
-        ops = _fused_vcycle_operands(problem, levels, taus, fine_inv_diag,
-                                     inv_diags, coarse_dense, config, rhos)
+        if prep is not None:
+            ops = build_fused_solver_operands(problem, config, prep)
+        else:
+            ops = _fused_vcycle_operands(problem, levels, taus, fine_inv_diag,
+                                         inv_diags, coarse_dense, config,
+                                         rhos)
         if ops is not None:
             from .ops.pallas_stencil import fused_vcycle_2d, fused_wcycle_2d
             coeffs, sids, Rs, inv32, lw, cfs = ops

@@ -166,15 +166,43 @@ class PreciseProblem:
     weights: Weights = dataclasses.field(metadata=dict(static=True))
 
     def _row_contrib(self, y: jax.Array) -> jax.Array:
-        """Bᵀy per corner: [n, R] row values → [n, 2^D] corner contribs."""
+        """Bᵀy per corner: [n, R] row values → [n, 2^D] corner contribs.
+        Straight f64 einsum — the ORACLE form; the solve path uses the
+        double-float versions below (same values to ~2⁻⁴⁸)."""
         return jnp.einsum("nrc,nr->nc", self.rows64, y,
                           precision=jax.lax.Precision.HIGHEST)
 
     def _rows_apply(self, x: jax.Array) -> jax.Array:
-        """B x: [grid] → [n, R] per-sample row values."""
+        """B x: [grid] → [n, R] per-sample row values (f64 oracle form)."""
         xc = x.reshape(-1)[self.corner_idx]                     # [n, C]
         return jnp.einsum("nrc,nc->nr", self.rows64, xc,
                           precision=jax.lax.Precision.HIGHEST)
+
+    def _rows_apply_df(self, x: jax.Array) -> jax.Array:
+        """B x via double-float (hi/lo fp32) arithmetic: exact splits of x
+        and the rows, elementwise TwoProd products with all cross terms,
+        compensated sum over the corner axis. Matches the f64 einsum to
+        ~C·2⁻⁴⁸ relative (tests pin ≤1e-12) but costs a fused chain of
+        fp32 VPU ops instead of a software-emulated f64 contraction —
+        measured 0.111 → ~0.05 ms per residual evaluation at 256²/1k pts
+        on v5e (probes/res64_decomp.py; the plain 3-einsum hi/lo variant
+        floors at 1.1e-7 from fp32 ACCUMULATION error, which would break
+        the 2% report-vs-oracle honesty bar — hence the compensated
+        form)."""
+        from .df import DF, df_mul_split, df_split_f64, df_sum_axis, df_to_f64
+        xh, xl = df_split_f64(x.reshape(-1))
+        ch, cl = xh[self.corner_idx], xl[self.corner_idx]       # [n, C] fp32
+        rh, rl = df_split_f64(self.rows64)                      # [n, R, C]
+        prod = df_mul_split(rh, rl, ch[:, None, :], cl[:, None, :])
+        return df_to_f64(df_sum_axis(prod, axis=2))             # [n, R]
+
+    def _row_contrib_df(self, y: jax.Array) -> jax.Array:
+        """Bᵀy per corner in double-float (see _rows_apply_df)."""
+        from .df import df_mul_split, df_split_f64, df_sum_axis, df_to_f64
+        yh, yl = df_split_f64(y)
+        rh, rl = df_split_f64(self.rows64)
+        prod = df_mul_split(rh, rl, yh[:, :, None], yl[:, :, None])
+        return df_to_f64(df_sum_axis(prod, axis=1))             # [n, C]
 
     def residual64(self, x: jax.Array) -> jax.Array:
         """r = b − A x in LEAST-SQUARES form −S x + Bᵀ(t − B x), with the
@@ -182,11 +210,15 @@ class PreciseProblem:
         NOT vanish at convergence, so a fast fp32-accumulated scatter here
         would leave a fixed ~1e-6-scale error floor — measured).
         solve_refined calls this ONCE per solve and tracks later rounds
-        incrementally via apply64_delta. Gated 2D/3D problems use the exact
-        integer-grid matmul scatter (~0.05 ms vs the ~0.35 ms flat f64 XLA
-        scatter; see constraints.use_matmul_scatter for the 3D gates)."""
+        incrementally via apply64_delta. Precision budget: the data rows run
+        in compensated double-float (~2⁻⁴⁸ relative — two orders below the
+        2% honesty bar at tol=1e-6), the smoothness conv stays f64 (measured
+        CHEAP: 0.010 ms — it is the row einsums and the scatter that cost),
+        and gated 2D/3D problems use the exact integer-grid matmul scatter
+        (~0.05 ms vs the ~0.35 ms flat f64 XLA scatter; see
+        constraints.use_matmul_scatter for the 3D gates)."""
         s = stencils.smoothness_apply(x, self.weights, self.grid.ndim)
-        contrib = self._row_contrib(self.tw64 - self._rows_apply(x))
+        contrib = self._row_contrib_df(self.tw64 - self._rows_apply_df(x))
         if cons.use_matmul_scatter(self.grid, self.corner_idx.shape[0]):
             return cons.scatter_corners_exact(
                 self.grid, self.corner_idx, contrib) - s
@@ -195,20 +227,23 @@ class PreciseProblem:
         return d.reshape(self.grid.shape) - s
 
     def apply64_delta(self, d: jax.Array) -> jax.Array:
-        """A d for a refinement CORRECTION d, with hi/lo fp32 arithmetic
-        where it self-scales: every error here is ∝ ‖d‖, which shrinks
-        geometrically over rounds (round 1 is peeled through the EXACT
-        residual64), so the fp32 errors land orders below the honesty bar —
-        unlike a full-residual evaluation (see residual64).
+        """A d for a refinement CORRECTION d, with fp32 arithmetic where it
+        self-scales: every error here is ∝ ‖d‖, which shrinks geometrically
+        over rounds (round 1 is peeled through the EXACT residual64), so
+        the fp32 errors land orders below the honesty bar — unlike a
+        full-residual evaluation (see residual64).
 
-        * data term — fast hi/lo fp32 matmul scatter (error ∝ the scattered
-          values B d);
+        * data term — PLAIN fp32 rows + fp32 matmul scatter: the error is
+          ~2⁻²⁴·‖BᵀB d‖ ≈ 2⁻²⁴·‖r_prev‖, i.e. ~6e-12·‖b‖ by the first
+          incremental round (r ≤ 1e-4·‖b‖ after the peeled round) — four
+          orders below the 2%-of-5e-7 honesty budget. Replaces the f64
+          einsums + hi/lo scatter (measured 0.111 + 0.040 ms → ~0.04 ms,
+          probes/res64_decomp.py).
         * smoothness — two fp32 applies on the exact split d = hi + lo
-          instead of one software-emulated f64 apply (~24 emulated ops on
-          the whole grid per refinement round; the fp32 rounding error is
-          ~2⁻²⁴·‖S‖·‖d‖, the same self-scaling class as the scatter —
-          verified by test_refined_reported_residual_is_true_256's 2%
-          report-vs-oracle bar)."""
+          instead of one software-emulated f64 apply; fp32 rounding error
+          ~2⁻²⁴·‖S‖·‖d‖, the same self-scaling class — verified by
+          test_refined_reported_residual_is_true_256's 2% report-vs-oracle
+          bar."""
         hi = d.astype(jnp.float32)
         lo = (d - hi).astype(jnp.float32)
         nd = self.grid.ndim
@@ -216,13 +251,20 @@ class PreciseProblem:
              .astype(jnp.float64)
              + stencils.smoothness_apply(lo, self.weights, nd)
              .astype(jnp.float64))
-        contrib = self._row_contrib(self._rows_apply(d))
+        rows32 = self.rows64.astype(jnp.float32)
+        ch = hi.reshape(-1)[self.corner_idx]                    # [n, C] fp32
+        y = jnp.einsum("nrc,nc->nr", rows32, ch,
+                       precision=jax.lax.Precision.HIGHEST)
+        contrib = jnp.einsum("nrc,nr->nc", rows32, y,
+                             precision=jax.lax.Precision.HIGHEST)
         if cons.use_matmul_scatter(self.grid, self.corner_idx.shape[0]):
-            return s + cons.scatter_corners_hilo(self.grid,
-                                                    self.corner_idx, contrib)
-        dd = jnp.zeros((self.grid.num_nodes,), d.dtype
-                       ).at[self.corner_idx].add(contrib)
-        return s + dd.reshape(self.grid.shape)
+            dd = cons.scatter_corners_matmul(self.grid, self.corner_idx,
+                                             contrib)
+        else:
+            dd = jnp.zeros((self.grid.num_nodes,), jnp.float32
+                           ).at[self.corner_idx].add(contrib
+                                                     ).reshape(self.grid.shape)
+        return s + dd.astype(jnp.float64)
 
 def assemble_precise(
     grid: Grid,

@@ -195,9 +195,10 @@ def _pcg_fused(ops, b: jax.Array, x0: Optional[jax.Array], *, tol, maxiter,
     return x, SolveInfo(iterations=k, rel_residual=rel, converged=rr <= tol2)
 
 
-def _fused_solver_ops(problem: Problem, config: SolverConfig):
+def _fused_solver_ops(problem: Problem, config: SolverConfig, prep=None):
     """(ops, interpret) for the fully-fused PCG path, or (None, _) when the
-    problem/config/backend rules it out."""
+    problem/config/backend rules it out. ``prep`` (solver.prepare) supplies
+    prebuilt operands as jit inputs."""
     if config.backend == "xla" or config.preconditioner != "multigrid":
         return None, False
     platform = jax.devices()[0].platform
@@ -205,7 +206,7 @@ def _fused_solver_ops(problem: Problem, config: SolverConfig):
     if not (on_tpu or config.backend == "pallas"):
         return None, False
     from .multigrid import build_fused_solver_operands
-    ops = build_fused_solver_operands(problem, config)
+    ops = build_fused_solver_operands(problem, config, prep)
     return ops, not on_tpu
 
 
@@ -248,7 +249,8 @@ def _make_apply(problem: Problem, config: SolverConfig):
     return apply_fn
 
 
-def _make_precond(problem: Problem, config: SolverConfig, apply_fn=None):
+def _make_precond(problem: Problem, config: SolverConfig, apply_fn=None,
+                  prep=None):
     if config.preconditioner == "none":
         return None
     if config.preconditioner == "jacobi":
@@ -265,8 +267,59 @@ def _make_precond(problem: Problem, config: SolverConfig, apply_fn=None):
             pallas_interpret = not on_tpu
         return make_vcycle_preconditioner(problem, config, apply_fn=apply_fn,
                                           pallas_smooth=pallas_smooth,
-                                          pallas_interpret=pallas_interpret)
+                                          pallas_interpret=pallas_interpret,
+                                          prep=prep)
     raise ValueError(f"unknown preconditioner {config.preconditioner!r}")
+
+
+def _check_prep(problem: Problem, config: SolverConfig, prep) -> None:
+    """Trace-time staleness check for a prepared setup: a prep built for a
+    different geometry, weights, or MG config raises instead of silently
+    preconditioning with the wrong hierarchy (all compared fields are
+    static pytree metadata, so this costs nothing at run time)."""
+    if prep is None:
+        return
+    from .multigrid import setup_signature
+    if prep.shape != problem.grid.shape:
+        raise ValueError(
+            f"prep was built for grid {prep.shape}, problem has "
+            f"{problem.grid.shape} — rebuild with solver.prepare")
+    if prep.weights != problem.weights:
+        raise ValueError(
+            "prep was built for different Weights — the data/smoothness "
+            "operator changed; rebuild with solver.prepare")
+    if prep.sig != setup_signature(config):
+        raise ValueError(
+            "prep was built under a different solver/multigrid config "
+            "(see multigrid.setup_signature) — rebuild with solver.prepare")
+
+
+def prepare(problem: Problem, config: SolverConfig = SolverConfig()):
+    """Precompute the reusable solver setup for repeated solves on a FIXED
+    operator (positions/weights unchanged; values/targets — i.e. ``b`` —
+    may change freely): the multigrid hierarchy, Gershgorin smoothing
+    steps, dense-coarsest factor, and fused-kernel operands. Pass the
+    result to ``solve(problem, config, prep=...)`` / ``solve_refined`` —
+    each solve then receives the setup as jit inputs instead of
+    recomputing ~0.2 ms of it per call (256², v5e; the interactive
+    re-solve pattern of the reference GUI, SURVEY.md §3.2).
+
+    Returns None for non-multigrid configs (nothing worth reusing).
+    Staleness is caught at trace time (_check_prep); for a driver-level
+    loop that also reuses the ASSEMBLY geometry, see session.Solver."""
+    if config.preconditioner != "multigrid":
+        return None
+    platform = jax.devices()[0].platform
+    want_fused = config.backend != "xla" and (
+        platform in ("tpu", "axon") or config.backend == "pallas")
+    p32 = problem.p32 if hasattr(problem, "p32") else problem
+    return _prepare_impl(p32, config, want_fused)
+
+
+@functools.partial(jax.jit, static_argnames=("config", "want_fused"))
+def _prepare_impl(problem: Problem, config: SolverConfig, want_fused: bool):
+    from .multigrid import prepare_mg
+    return prepare_mg(problem, config, want_fused)
 
 
 @functools.partial(jax.jit, static_argnames=("config",))
@@ -274,10 +327,14 @@ def solve(
     problem: Problem,
     config: SolverConfig = SolverConfig(),
     x0: Optional[jax.Array] = None,
+    prep=None,
 ) -> tuple[jax.Array, SolveInfo]:
     """Solve the assembled problem; the reference's `solve_sparse_linear`
-    (+`_with_guess` via ``x0``) equivalent (SURVEY.md §2 C7/C8)."""
-    fused_ops, fused_interpret = _fused_solver_ops(problem, config)
+    (+`_with_guess` via ``x0``) equivalent (SURVEY.md §2 C7/C8).
+    ``prep`` — a prepared setup from ``prepare`` (same operator/config):
+    repeated solves then skip the per-solve multigrid setup."""
+    _check_prep(problem, config, prep)
+    fused_ops, fused_interpret = _fused_solver_ops(problem, config, prep)
     if fused_ops is not None:
         return _pcg_fused(fused_ops, problem.b, x0, tol=config.tol,
                           maxiter=config.maxiter,
@@ -290,7 +347,7 @@ def solve(
         apply_fn,
         problem.b,
         x0=x0,
-        precond_fn=_make_precond(problem, config, apply_fn),
+        precond_fn=_make_precond(problem, config, apply_fn, prep),
         tol=config.tol,
         maxiter=config.maxiter,
         recompute_every=config.recompute_every,
@@ -309,7 +366,8 @@ def _downcast_problem(p64: Problem) -> Problem:
 
 @functools.partial(jax.jit, static_argnames=("config",))
 def _solve_refined_impl(p64, config: SolverConfig,
-                        x0: Optional[jax.Array]) -> tuple[jax.Array, SolveInfo]:
+                        x0: Optional[jax.Array],
+                        prep=None) -> tuple[jax.Array, SolveInfo]:
     # Accept either a float64-assembled Problem (legacy) or the matter-free
     # PreciseProblem (sdf.assemble_precise) whose f64 data term stays in
     # per-sample form — much cheaper under f64 emulation on TPU. Precision
@@ -327,10 +385,11 @@ def _solve_refined_impl(p64, config: SolverConfig,
         residual64 = lambda x: p64.b - p64.apply(x)
         apply_delta = p64.apply
         b64 = p64.b
-    fused_ops, fused_interpret = _fused_solver_ops(p32, config)
+    _check_prep(p32, config, prep)
+    fused_ops, fused_interpret = _fused_solver_ops(p32, config, prep)
     if fused_ops is None:
         apply32 = _make_apply(p32, config)
-        precond = _make_precond(p32, config, apply32)
+        precond = _make_precond(p32, config, apply32, prep)
     bnorm2 = jnp.maximum(_dot(b64, b64), jnp.finfo(jnp.float64).tiny)
     tol2 = config.tol * config.tol * bnorm2
     # fp32 inner solves stagnate around ~1e-4 relative (rounding floor).
@@ -402,6 +461,7 @@ def solve_refined(
     problem64: Problem,
     config: SolverConfig = SolverConfig(),
     x0: Optional[jax.Array] = None,
+    prep=None,
 ) -> tuple[jax.Array, SolveInfo]:
     """Mixed-precision solve to a TRUE ≤`tol` relative residual.
 
@@ -418,4 +478,4 @@ def solve_refined(
     leaves were assembled in float64.
     """
     with jax.enable_x64():
-        return _solve_refined_impl(problem64, config, x0)
+        return _solve_refined_impl(problem64, config, x0, prep)

@@ -114,3 +114,57 @@ def test_axpy_under_vmap(rng):
     # relative to the OPERAND scale (ref itself crosses zero elementwise)
     scale = np.abs(y64) + np.abs(a64[:, None] * x64)
     assert (np.abs(got - ref) / np.maximum(scale, 1e-30)).max() < 1e-12
+
+
+def test_mul_split_vs_f64_oracle(rng):
+    a64, _ = _mk(rng, n=2048)
+    b64, _ = _mk(rng, n=2048, scale=3.7)
+    with jax.enable_x64():
+        ah, al = dfm.df_split_f64(jnp.asarray(a64, jnp.float64))
+        bh, bl = dfm.df_split_f64(jnp.asarray(b64, jnp.float64))
+        p = dfm.df_mul_split(ah, al, bh, bl)
+        got = np.asarray(dfm.df_to_f64(p), np.float64)
+    ref = a64 * b64
+    rel = np.abs(got - ref) / np.maximum(np.abs(ref), 1e-30)
+    assert rel.max() < 1e-13
+
+
+def test_sum_axis_compensated(rng):
+    # Sum along a small axis with heavy cancellation: plain fp32 floors at
+    # ~2^-24, the compensated chain must stay ~2^-48-class.
+    x64 = rng.standard_normal((512, 8))
+    x64[:, 4:] = -x64[:, :4] * (1 + 1e-9)  # near-cancelling pairs
+    with jax.enable_x64():
+        hi, lo = dfm.df_split_f64(jnp.asarray(x64, jnp.float64))
+        s = dfm.df_sum_axis(dfm.DF(hi, lo), axis=1)
+        got = np.asarray(dfm.df_to_f64(s), np.float64)
+    ref = x64.sum(axis=1)
+    scale = np.abs(x64).sum(axis=1)  # error is relative to the ADDEND sizes
+    assert np.max(np.abs(got - ref) / scale) < 1e-13
+
+
+def test_precise_rows_df_match_f64_oracle(rng):
+    """PreciseProblem's double-float row apply/contrib (the residual64 hot
+    path on TPU) must match the straight f64 einsum oracle to ~2^-40 —
+    the plain 3-einsum hi/lo variant floors at ~1e-7 (fp32 accumulation)
+    and would break the 2% report-vs-oracle honesty bar."""
+    import field_interpolation_tpu as fi
+    grid = fi.Grid((24, 17))
+    w = fi.Weights(model_2=0.3)
+    n = 200
+    pos = rng.uniform(0, 1, (n, 2)) * (np.array(grid.shape) - 1)
+    nrm = rng.standard_normal((n, 2))
+    nrm /= np.linalg.norm(nrm, axis=1, keepdims=True)
+    with jax.enable_x64():
+        pp = fi.assemble_precise(grid, w, jnp.asarray(pos, jnp.float32),
+                                 jnp.zeros(n), gradients=jnp.asarray(
+                                     nrm, jnp.float32))
+        x = jnp.asarray(rng.standard_normal(grid.shape), jnp.float64)
+        y_df = np.asarray(pp._rows_apply_df(x), np.float64)
+        y_64 = np.asarray(pp._rows_apply(x), np.float64)
+        yres = pp.tw64 - pp._rows_apply(x)
+        c_df = np.asarray(pp._row_contrib_df(yres), np.float64)
+        c_64 = np.asarray(pp._row_contrib(yres), np.float64)
+    for got, ref in ((y_df, y_64), (c_df, c_64)):
+        scale = max(np.abs(ref).max(), 1e-30)
+        assert np.max(np.abs(got - ref)) / scale < 1e-12
