@@ -41,5 +41,7 @@ def ab(shape, npts, tol=1e-4):
 
 if __name__ == "__main__":
     print("device:", jax.devices()[0], flush=True)
-    ab((4096, 4096), 100_000)
-    ab((256, 256, 256), 100_000)
+    if "--3d-only" not in sys.argv:
+        ab((4096, 4096), 100_000)
+    if "--2d-only" not in sys.argv:
+        ab((256, 256, 256), 100_000)
