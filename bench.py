@@ -229,10 +229,19 @@ def secondary_configs(log):
     # Config 5 proxy: the multi-chip sharded configs need hardware this rig
     # lacks (dryrun_multichip validates the sharded path on virtual devices);
     # as a single-chip large-grid proxy, solve 4096² with the striped kernel.
-    # FI_BENCH_FMG=<depth> turns on the nested-iteration initial guess for
-    # every config-5 line (flip after probes/fmg_ab.py confirms on-chip;
-    # CPU-lab predictions: ~25% at 4096², ~20% at 256³ — NOTES_ROUND4).
-    fmg = int(os.environ.get("FI_BENCH_FMG", "0"))
+    # fmg_start (nested-iteration initial guess) per-dimension defaults set
+    # by the round-5 on-chip A/B (probes/fmg_ab.py, v5e, same-session ABA):
+    #   2D 4096² @1e-4: 388 -> 342 ms at depth 1 (fine iters 11 -> 6); deeper
+    #     recursion is slightly WORSE (350/359 ms) -> default depth 1.
+    #   3D 256³ @1e-4: 280 -> 346 ms (fine 10 -> 8 but the 128³ coarse solve
+    #     costs more than the two saved fine iterations) -> default 0.
+    # FI_BENCH_FMG=<depth> overrides BOTH; FI_BENCH_FMG_2D / FI_BENCH_FMG_3D
+    # override one side.
+    _fmg_env = os.environ.get("FI_BENCH_FMG")
+    fmg2 = int(_fmg_env if _fmg_env is not None
+               else os.environ.get("FI_BENCH_FMG_2D", "1"))
+    fmg3 = int(_fmg_env if _fmg_env is not None
+               else os.environ.get("FI_BENCH_FMG_3D", "0"))
     grid5 = fi.Grid((4096, 4096))
     n5 = 100_000
     theta = rng.uniform(0, 2 * np.pi, n5)
@@ -244,7 +253,7 @@ def secondary_configs(log):
         t0 = time.perf_counter()
         x5, info5 = fi.sdf_from_points(grid5, fi.Weights(model_2=0.3),
                                        jnp.asarray(pts5), jnp.asarray(nrm5),
-                                       config=cfg5, fmg_start=fmg)
+                                       config=cfg5, fmg_start=fmg2)
         float(jnp.sum(x5))
         t5 = (time.perf_counter() - t0) * 1e3
     log(f"[config 5 proxy] single-chip 4096² SDF ({n5} pts, striped Pallas + "
@@ -263,7 +272,7 @@ def secondary_configs(log):
         t0 = time.perf_counter()
         x5p, info5p = fi.sdf_from_points_precise(
             grid5, fi.Weights(model_2=0.3), jnp.asarray(pts5),
-            jnp.asarray(nrm5), config=cfg5p, fmg_start=fmg)
+            jnp.asarray(nrm5), config=cfg5p, fmg_start=fmg2)
         float(jnp.sum(x5p.astype(jnp.float32)))
         t5p = (time.perf_counter() - t0) * 1e3
     log(f"[config 5 proxy @1e-6] 4096² SDF to TRUE 1e-6: {t5p:.0f} ms "
@@ -285,7 +294,7 @@ def secondary_configs(log):
         x53, info53 = fi.sdf_from_points(grid53, fi.Weights(model_2=0.3),
                                          jnp.asarray(pts53),
                                          jnp.asarray(u3.astype(np.float32)),
-                                         config=cfg53, fmg_start=fmg)
+                                         config=cfg53, fmg_start=fmg3)
         float(jnp.sum(x53))
         t53 = (time.perf_counter() - t0) * 1e3
     log(f"[config 5 proxy 3D] 256³ SDF ({m3} pts, two-axis striped Pallas + "
@@ -306,7 +315,7 @@ def secondary_configs(log):
         x53p, info53p = fi.sdf_from_points_precise(
             grid53, fi.Weights(model_2=0.3), jnp.asarray(pts53),
             jnp.asarray(u3.astype(np.float32)), config=cfg53p,
-            fmg_start=fmg)
+            fmg_start=fmg3)
         float(jnp.sum(x53p.astype(jnp.float32)))
         t53p = (time.perf_counter() - t0) * 1e3
     log(f"[config 5 proxy 3D @1e-6] 256³ SDF to TRUE 1e-6: {t53p:.0f} ms "
