@@ -174,6 +174,51 @@ def _densify_matmul_2d(grid: Grid, corner_idx, M, bvec):
     return coeff, b
 
 
+def _densify_cellwise(grid: Grid, corner_idx, M, bvec):
+    """Cell-windowed densify for fp32 problems at any scale: ONE scatter of
+    n row-vector payloads instead of n·(C²+C) scalar updates.
+
+    The flat elementwise scatter's cost on this backend scales with the
+    UPDATE COUNT (measured: 97 ms of the 271 ms 256³/100k-pt config-5 wall,
+    probes/config5_slices.py, round 5) — 7.2M scalar adds in 3D. But every
+    one of a sample's C²+C contributions lands inside its own cell, so the
+    whole per-sample normal block can ride as one contiguous window:
+    scatter [n, T+C] rows (T = C(C+1)/2 — M is symmetric, only the upper
+    triangle travels) into a [num_nodes, T+C] cell-block array indexed by
+    the base corner, then convert cell layout → the channel-major node
+    stencil with C² static pad-shifts, which XLA fuses into one
+    bandwidth-bound pass. 3D cost: ~100k windowed updates + ~3 GB of
+    streaming traffic instead of 7.2M scalar updates.
+    """
+    D = grid.ndim
+    C = grid.num_corners
+    n = M.shape[0]
+    dtype = M.dtype
+    bits = corner_bits(D)                               # [C, D] numpy
+    chan = _offset_channels(D)                          # [C, C] numpy
+    iu = np.triu_indices(C)
+    T = len(iu[0])
+
+    upd = jnp.concatenate([M[:, iu[0], iu[1]], bvec], axis=1)   # [n, T+C]
+    cells = jnp.zeros((grid.num_nodes, T + C), dtype)
+    cells = cells.at[corner_idx[:, 0]].add(upd)         # one windowed scatter
+
+    # plane(c,d) at base node j contributes to node i = j + bits[c] on
+    # channel chan[c,d]; symmetric pairs reuse the same plane transposed.
+    per_chan: list[list[jax.Array]] = [[] for _ in range(3**D)]
+    for k in range(T):
+        c, d = int(iu[0][k]), int(iu[1][k])
+        p = cells[:, k].reshape(grid.shape)
+        per_chan[int(chan[c, d])].append(_shift(p, -bits[c], D))
+        if c != d:
+            per_chan[int(chan[d, c])].append(_shift(p, -bits[d], D))
+    coeff = jnp.stack([sum(ps) if ps else jnp.zeros(grid.shape, dtype)
+                       for ps in per_chan])
+    b = sum(_shift(cells[:, T + c].reshape(grid.shape), -bits[c], D)
+            for c in range(C))
+    return coeff, b
+
+
 def scatter_corners_matmul(grid: Grid, corner_idx: jax.Array,
                            values: jax.Array) -> jax.Array:
     """Scatter-free corner accumulation (2D and 3D grids):
@@ -334,7 +379,22 @@ def densify_data_term(
     if (D == 2 and row_coeffs.dtype == jnp.float32
             and n * grid.num_nodes <= 200_000_000):
         return _densify_matmul_2d(grid, corner_idx, M, bvec)
+    # Every other fp32 problem (3D, and 2D past the matmul flop gate) takes
+    # the cell-windowed scatter: update count n instead of n·(C²+C).
+    # f64 assembly keeps the flat scatter below (not a hot path; avoids the
+    # 2× cell-block memory in x64).
+    if row_coeffs.dtype == jnp.float32:
+        return _densify_cellwise(grid, corner_idx, M, bvec)
+    return _densify_flat_scatter(grid, corner_idx, M, bvec)
 
+
+def _densify_flat_scatter(grid: Grid, corner_idx, M, bvec):
+    """Elementwise-scatter densify (the f64 assembly path; also the
+    reference implementation the fp32 cell-windowed path is probed
+    against — probes/assembly_ab.py)."""
+    D = grid.ndim
+    C = grid.num_corners
+    n = corner_idx.shape[0]
     chan = jnp.asarray(_offset_channels(D))            # [C, C]
     idx_cc = jnp.broadcast_to(corner_idx[:, :, None], (n, C, C))
     chan_cc = jnp.broadcast_to(chan[None, :, :], (n, C, C))
@@ -343,7 +403,7 @@ def densify_data_term(
     # ~0.5-1 ms FLAT regardless of payload (measured, NOTES_ROUND1.md), so
     # two scatter ops would double the assembly's dominant cost. b rides
     # along as channel 3^D of a (3^D + 1)-plane target.
-    dtype = row_coeffs.dtype
+    dtype = M.dtype
     N = grid.num_nodes
     flat_idx = jnp.concatenate(
         [(chan_cc * N + idx_cc).reshape(-1), (3**D) * N + corner_idx.reshape(-1)])
