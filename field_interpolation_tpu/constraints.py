@@ -175,8 +175,16 @@ def _densify_matmul_2d(grid: Grid, corner_idx, M, bvec):
 
 
 def _densify_cellwise(grid: Grid, corner_idx, M, bvec):
-    """Cell-windowed densify for fp32 problems at any scale: ONE scatter of
-    n row-vector payloads instead of n·(C²+C) scalar updates.
+    """Cell-windowed densify: ONE scatter of n row-vector payloads instead
+    of n·(C²+C) scalar updates.
+
+    MEASURED NULL on v5e (probes/assembly_ab.py, round 5): 33.7 vs 27.1 ms
+    at 4096²/100k (+24%) and 88.9 vs 87.2 ms at 256³ (wash) against the
+    flat scatter — the windowed scatter's (T+C)-wide minor dim pads to the
+    128-lane tile, so the saved update count is paid back in streamed
+    bytes. Kept as the probe's subject and as the record of the attempt;
+    production fp32 uses `_densify_flat_scatter_sym` instead (same
+    update-count insight, no layout penalty).
 
     The flat elementwise scatter's cost on this backend scales with the
     UPDATE COUNT (measured: 97 ms of the 271 ms 256³/100k-pt config-5 wall,
@@ -380,12 +388,60 @@ def densify_data_term(
             and n * grid.num_nodes <= 200_000_000):
         return _densify_matmul_2d(grid, corner_idx, M, bvec)
     # Every other fp32 problem (3D, and 2D past the matmul flop gate) takes
-    # the cell-windowed scatter: update count n instead of n·(C²+C).
-    # f64 assembly keeps the flat scatter below (not a hot path; avoids the
-    # 2× cell-block memory in x64).
+    # the symmetry-halved scatter: the backend's scatter cost is
+    # ∝ scalar-update count (~12-13 ns/update at config-5 scale, measured at
+    # BOTH 4096² and 256³ — probes/assembly_ab.py), so scattering only the
+    # upper triangle of the symmetric normal block (C(C+1)/2 + C updates
+    # instead of C² + C) cuts the dominant assembly cost ~1.6×; the mirror
+    # channels are reconstructed by exact plane shifts.
+    # f64 assembly keeps the full flat scatter (not a hot path; preserves
+    # the historical accumulation order the exact-tier tests pin).
     if row_coeffs.dtype == jnp.float32:
-        return _densify_cellwise(grid, corner_idx, M, bvec)
+        return _densify_flat_scatter_sym(grid, corner_idx, M, bvec)
     return _densify_flat_scatter(grid, corner_idx, M, bvec)
+
+
+def _densify_flat_scatter_sym(grid: Grid, corner_idx, M, bvec):
+    """Flat scatter of the UPPER-TRIANGLE channels only + mirror-shift
+    reconstruction.
+
+    Every off-diagonal pair (c, d) contributes the same value M[c,d]=M[d,c]
+    twice: at node j₀+bits[c] on the offset-o channel (o = bits[d]-bits[c])
+    and at node j₀+bits[d] on the offset-(−o) channel. Summing over all
+    samples, the mirror identity  A₋ₒ[k] = Aₒ[k−o]  therefore holds EXACTLY
+    (it is the same multiset of values, relocated) — including at grid
+    boundaries, where zero-padding supplies exactly the vanishing terms.
+    So only channels with chan ≤ center (o ⪰ 0 lexicographically) are
+    scattered — C(C+1)/2 entries per sample plus C for b — and the
+    (3^D−1)/2 mirror channels are pure shifted copies (channel mirror is
+    3^D−1−chan). Bandwidth cost of the copies: ~2 planes·(3^D−1)/2, ≈2-3 ms
+    at 256³ vs the ~30 ms of scatter it removes."""
+    D = grid.ndim
+    C = grid.num_corners
+    n = corner_idx.shape[0]
+    dtype = M.dtype
+    N = grid.num_nodes
+    chan_np = _offset_channels(D)                      # [C, C] numpy
+    center = (3**D - 1) // 2
+    keep = np.argwhere(chan_np <= center)              # [P, 2] static
+    pc, pd = keep[:, 0], keep[:, 1]
+    P = len(pc)                                        # C(C+1)/2
+
+    chans = jnp.asarray(chan_np[pc, pd])[None, :]      # [1, P]
+    idx = corner_idx[:, pc]                            # [n, P]
+    flat_idx = jnp.concatenate(
+        [(chans * N + idx).reshape(-1),
+         (center + 1) * N + corner_idx.reshape(-1)])
+    updates = jnp.concatenate([M[:, pc, pd].reshape(-1), bvec.reshape(-1)])
+    out = jnp.zeros(((center + 2) * N,), dtype=dtype).at[flat_idx].add(updates)
+    planes = out.reshape((center + 2,) + grid.shape)
+    b = planes[center + 1]
+
+    offs = offset_list(D)                              # [3^D, D]
+    mirrors = [_shift(planes[3**D - 1 - q], -offs[3**D - 1 - q], D)
+               for q in range(center + 1, 3**D)]
+    coeff = jnp.concatenate([planes[:center + 1], jnp.stack(mirrors)])
+    return coeff, b
 
 
 def _densify_flat_scatter(grid: Grid, corner_idx, M, bvec):

@@ -87,14 +87,16 @@ def main():
     for shape in [(97, 83), (33, 29, 31)]:
         grid = fi.Grid(shape)
         pts, nrm = make_cloud(shape, 5000, seed=7)
-        ca, ba = jax.jit(lambda p, m: densify(
-            grid, w, p, m, cons._densify_cellwise))(pts, nrm)
         cb, bb = jax.jit(lambda p, m: densify(
             grid, w, p, m, cons._densify_flat_scatter))(pts, nrm)
-        rc = float(jnp.max(jnp.abs(ca - cb)) / jnp.max(jnp.abs(cb)))
-        rb = float(jnp.max(jnp.abs(ba - bb)) / jnp.max(jnp.abs(bb)))
-        print(f"correctness {shape}: coeff rel {rc:.2e}, b rel {rb:.2e}",
-              flush=True)
+        for name, impl in [("cellwise", cons._densify_cellwise),
+                           ("sym", cons._densify_flat_scatter_sym)]:
+            ca, ba = jax.jit(lambda p, m: densify(grid, w, p, m, impl))(
+                pts, nrm)
+            rc = float(jnp.max(jnp.abs(ca - cb)) / jnp.max(jnp.abs(cb)))
+            rb = float(jnp.max(jnp.abs(ba - bb)) / jnp.max(jnp.abs(bb)))
+            print(f"correctness {shape} {name:9s}: coeff rel {rc:.2e}, "
+                  f"b rel {rb:.2e}", flush=True)
 
     cases = ([((256, 256), 1000)] if smoke
              else [((4096, 4096), 100_000), ((256, 256, 256), 100_000)])
@@ -104,6 +106,8 @@ def main():
               cons._densify_flat_scatter, Ks=(1, 2) if smoke else (1, 3))
         kdiff(f"{shape} cell-windowed", grid, w, shape, n,
               cons._densify_cellwise, Ks=(1, 2) if smoke else (1, 3))
+        kdiff(f"{shape} sym (upper-tri)", grid, w, shape, n,
+              cons._densify_flat_scatter_sym, Ks=(1, 2) if smoke else (1, 3))
 
 
 if __name__ == "__main__":

@@ -212,3 +212,49 @@ def test_sample_field_reads_back_constraints():
     assert bool(info.converged)
     got = np.asarray(fi.sample_field(grid, field, pts))
     np.testing.assert_allclose(got, np.asarray(vals), atol=5e-2)
+
+
+def test_densify_scatter_variants_agree():
+    """The three fp32 densify scatter implementations — flat (reference),
+    symmetry-halved (production, `_densify_flat_scatter_sym`), and
+    cell-windowed (probed alternative) — produce the same (coeff, b).
+    The sym path must be BIT-EXACT vs the flat scatter (same values, same
+    per-channel accumulation structure; mirror channels are relocated
+    copies). Clouds include out-of-bounds points (zero row weights) and
+    boundary-cell points so the mirror-shift zero-padding edge is hit."""
+    import jax
+
+    from field_interpolation_tpu import constraints as cons
+
+    rng = np.random.default_rng(11)
+    for shape in [(13, 9), (7, 6, 5), (19,)]:
+        grid = Grid(shape)
+        D = len(shape)
+        n = 600
+        pts = rng.uniform(0.0, np.asarray(shape, np.float64) - 1.0,
+                          (n, D)).astype(np.float32)
+        pts[:40] += 1e4  # out of bounds
+        corner_idx, rows, inb = multilinear_corner_data(
+            grid, jnp.asarray(pts))
+        R = rows.shape[1]
+        rw = (jnp.where(inb[:, None], 1.0, 0.0)
+              * jnp.asarray(rng.uniform(0.2, 2.0, (n, R)).astype(np.float32)))
+        Bw = rows * rw[:, :, None]
+        M = jnp.einsum("nrc,nrd->ncd", Bw, Bw)
+        bvec = jnp.einsum(
+            "nrc,nr->nc", Bw,
+            jnp.asarray(rng.standard_normal((n, R)).astype(np.float32)) * rw)
+        c_flat, b_flat = jax.jit(cons._densify_flat_scatter,
+                                 static_argnums=0)(grid, corner_idx, M, bvec)
+        c_sym, b_sym = jax.jit(cons._densify_flat_scatter_sym,
+                               static_argnums=0)(grid, corner_idx, M, bvec)
+        np.testing.assert_array_equal(np.asarray(c_sym), np.asarray(c_flat))
+        np.testing.assert_array_equal(np.asarray(b_sym), np.asarray(b_flat))
+        c_cw, b_cw = jax.jit(cons._densify_cellwise,
+                             static_argnums=0)(grid, corner_idx, M, bvec)
+        scale = float(jnp.max(jnp.abs(c_flat)))
+        np.testing.assert_allclose(np.asarray(c_cw), np.asarray(c_flat),
+                                   atol=3e-6 * scale)
+        np.testing.assert_allclose(np.asarray(b_cw), np.asarray(b_flat),
+                                   atol=3e-6 * float(jnp.max(jnp.abs(b_flat))
+                                                     + 1e-30))
