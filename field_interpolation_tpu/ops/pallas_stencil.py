@@ -83,7 +83,11 @@ def fits_vmem(shape: tuple[int, ...], itemsize: int = 4,
     512² diag level fits whole-VMEM where the full-channel form would not."""
     import math
     if len(shape) < 2:
-        return False  # rank-1 kernels are untested on hardware; XLA handles 1D
+        # Rank-1 stays on XLA by MEASUREMENT, not caution: the fused rank-1
+        # kernel compiles on v5e and matches XLA to 1.3e-7, but is a perf
+        # wash (51.9 vs 53.3 µs/apply at n=4096 — both launch-floor bound;
+        # probes/rank1_smoke.py, round 5), so the simpler path wins.
+        return False
     n = math.prod(shape)
     channels = 1 if diag_data else 3 ** len(shape)
     # diag smoothing keeps r/z/c/sid/az/out live -> a slightly larger factor.
