@@ -34,15 +34,24 @@ from field_interpolation_tpu.parallel import (shard_problem,
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--grid", type=int, default=256,
+                    help="square grid edge (default 256; the rot test "
+                         "passes 128 to keep the 1-core CI budget)")
+    ap.add_argument("--n", type=int, default=800, help="number of points")
+    args = ap.parse_args()
+
     rng = np.random.default_rng(0)
-    grid = fi.Grid((256, 256))
+    g = args.grid
+    grid = fi.Grid((g, g))
     weights = fi.Weights(model_2=0.3)
 
     # Oriented points on a noisy circle.
-    theta = rng.uniform(0, 2 * np.pi, 800)
+    theta = rng.uniform(0, 2 * np.pi, args.n)
     normals = np.stack([np.cos(theta), np.sin(theta)], -1).astype(np.float32)
-    pts = (127.5 + 80.0 * normals
-           + 0.2 * rng.standard_normal((800, 2))).astype(np.float32)
+    pts = ((g - 1) / 2.0 + 0.3125 * g * normals
+           + 0.2 * rng.standard_normal((args.n, 2))).astype(np.float32)
 
     problem = fi.assemble_sdf(grid, weights, jnp.asarray(pts),
                               jnp.asarray(normals))

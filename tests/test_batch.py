@@ -130,6 +130,7 @@ def test_batched_refined_to_1e6(rng):
     assert float(jnp.max(ib.rel_residual)) <= 1e-6
 
 
+@pytest.mark.slow
 def test_precise_batch_warm_start_cuts_iterations(rng):
     """x0 on the batched precise drivers (VERDICT r3 item 8 / reference C8:
     the interactive re-solve). Warm-starting every lane with the solution of

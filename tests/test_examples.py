@@ -50,7 +50,9 @@ def test_example_demo_app_oneshot(capsys):
 
 @pytest.mark.slow
 def test_example_sharded_demo(capsys):
-    _run("examples/sharded_demo.py")
+    # 128² instead of the demo's default 256²: same three code paths
+    # (unsharded, sharded, sharded-refined), ~3x cheaper on the 1-core host.
+    _run("examples/sharded_demo.py", ("x", "--grid", "128", "--n", "400"))
     out = capsys.readouterr().out
     assert "OK" in out
 

@@ -217,6 +217,7 @@ class TestWCycle:
     These tests pin (a) the iteration win, (b) preconditioner symmetry
     (CG validity), (c) XLA/fused-kernel equality, (d) solution parity."""
 
+    @pytest.mark.slow
     def test_wcycle_cuts_iterations(self):
         """On the headline problem family (SDF from an oriented circle
         cloud) the W-cycle cut is large: measured 14 -> 8 iterations at
@@ -420,6 +421,7 @@ class TestWCycleDepth:
         np.testing.assert_allclose(np.asarray(zs[1]), np.asarray(zs[0]),
                                    rtol=0, atol=0)
 
+    @pytest.mark.slow
     def test_depth2_keeps_iteration_cut(self):
         """The headline-family iteration cut survives depth=2 (measured:
         V 14, W-full 8, W-depth2 8 at 256^2/1e-4 — this pins the smaller
@@ -457,6 +459,7 @@ class TestPcgChunk:
         # (plus possibly one fewer safeguard segment)
         assert its[3] <= its[1] + 3, its
 
+    @pytest.mark.slow
     def test_chunked_refined_true_1e6(self):
         from field_interpolation_tpu.sdf import assemble_precise
         from field_interpolation_tpu.solver import solve_refined

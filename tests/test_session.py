@@ -59,6 +59,7 @@ def test_prepare_solve_matches_cold_fused_interpret(rng):
                                    jnp.abs(x_cold))))
 
 
+@pytest.mark.slow
 def test_prepare_refined_matches_cold(rng):
     grid = fi.Grid((40, 40))
     w = Weights(model_2=0.3)

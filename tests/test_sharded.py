@@ -288,7 +288,12 @@ def test_distributed_mg_matches_unsharded(rng):
     x_ref, info_ref = solve(problem, cfg)
     ref_iters = int(info_ref.iterations)
 
-    for mesh_shape in [(1, 1), (2, 2), (2, 4), (8, 1), (1, 8)]:
+    # (2,2) square, (2,4) rectangular, (1,8) extreme aspect — the shapes that
+    # blew up under block-Schwarz. (1,1) and (8,1) dropped from the loop:
+    # degenerate/transpose cases whose machinery the other three compile paths
+    # cover, and each mesh shape is a full PCG+MG shard_map recompile on the
+    # 1-core host (suite-budget audit, round 5).
+    for mesh_shape in [(2, 2), (2, 4), (1, 8)]:
         mesh = _mesh(mesh_shape, ("x", "y"))
         x, info = solve_sharded(shard_problem(problem, mesh), mesh, cfg)
         assert bool(info.converged), mesh_shape

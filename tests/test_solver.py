@@ -383,11 +383,16 @@ def test_precise_assembly_fast_path_bit_identical(rng):
                                   np.asarray(pp_slow.b64))
 
 
+@pytest.mark.slow
 def test_pallas_smoothers_jacobi_coarsest(rng):
     """Regression: the batched path (vmap + mg_coarse_solver='jacobi')
     routes through fused_smooth with diagonal-data coarse levels; diag_data
-    must be a STATIC jit arg (a traced bool crashed bench config 3)."""
-    grid = Grid((64, 64))
+    must be a STATIC jit arg (a traced bool crashed bench config 3). The
+    crash is trace-time, so 32² pins it as well as 64² did. Slow-marked:
+    the interpret-mode fused-PCG compile alone costs ~80 s on the 1-core
+    host; the quick tier keeps test_batched_solve_vmap_pallas, which traces
+    the same diag_data static-arg path in 7 s."""
+    grid = Grid((32, 32))
     weights, pos, vals = _random_problem(rng, grid, n=100)
     problem = assemble_problem(grid, weights, jnp.asarray(pos, jnp.float32),
                                jnp.asarray(vals, jnp.float32))
@@ -488,6 +493,7 @@ def test_fused_smooth_striped_matches_sweeps(rng, from_zero):
                                atol=2e-6 * max(scale, 1.0), rtol=2e-6)
 
 
+@pytest.mark.slow
 def test_precise_3d_gated_matmul_scatter(rng):
     """3D refined solve at a size inside the matmul-scatter gates: the
     PreciseProblem residual path must route through the exact integer-grid
@@ -626,6 +632,7 @@ def test_zero_smoothing_sweeps_backend_parity(rng):
                                rtol=0, atol=1e-5 * max(scale, 1e-30))
 
 
+@pytest.mark.slow
 def test_fmg_start_cuts_fine_iterations(rng):
     """Nested-iteration initial guess (fmg_start): same convergence bar,
     fewer fine-level iterations than a zero start (lab: 14 -> 7 at 256²
@@ -660,6 +667,7 @@ def test_fmg_start_cuts_fine_iterations(rng):
     assert bool(infop.converged)
 
 
+@pytest.mark.slow
 def test_fmg_start_recursive_depth(rng):
     """fmg_start=<int> recurses the nested iteration (classic full-FMG):
     the coarse solve itself starts from a 2x-coarser guess. Same
